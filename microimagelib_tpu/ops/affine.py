@@ -1,0 +1,195 @@
+"""Affine transform + trilinear interpolation, and the fused
+resample-and-correlate op that powers registration.
+
+The reference implements these with CUDA 3D textures: output voxel
+(x, y, z) maps through a 3x4 matrix, then ``tex3D(tx+0.5, ...)`` performs
+trilinear filtering (reference:include/cukernel.cuh:500-556). CUDA's
+linear filter at coordinate c+0.5 interpolates texels floor(c) and
+floor(c)+1 with fraction frac(c), clamping the footprint at the borders
+(wrap addressing is ignored for unnormalized coordinates). TPU has no
+texture units; we reproduce those semantics exactly with XLA gathers on a
+flattened volume — 8 neighbor fetches + lerp, fully fused under jit.
+
+Boundary masks (reference asymmetry, preserved deliberately):
+  * transform kernel: coordinate valid iff c >= -0.5 and c < size-0.5
+    (``tx >= 0`` after the +0.5 shift, reference:include/cukernel.cuh:515)
+  * correlate kernel: strict  c > -0.5    (``tx > 0``,
+    reference:include/cukernel.cuh:545)
+Outside the mask the sample is 0.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _trilerp_flat(src, cx, cy, cz, strict_lo):
+    """Trilinear sample of (z,y,x) volume ``src`` at float coords
+    (cx, cy, cz) in index space, zero outside the validity box."""
+    sz, sy, sx = src.shape
+    flat = src.reshape(-1)
+
+    if strict_lo:
+        valid = (cx > -0.5) & (cy > -0.5) & (cz > -0.5)
+    else:
+        valid = (cx >= -0.5) & (cy >= -0.5) & (cz >= -0.5)
+    valid &= (cx < sx - 0.5) & (cy < sy - 0.5) & (cz < sz - 0.5)
+
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    z0 = jnp.floor(cz)
+    fx = cx - x0
+    fy = cy - y0
+    fz = cz - z0
+
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, sx - 1)
+    x1i = jnp.clip(x0i + 1, 0, sx - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, sy - 1)
+    y1i = jnp.clip(y0i + 1, 0, sy - 1)
+    z0i = jnp.clip(z0.astype(jnp.int32), 0, sz - 1)
+    z1i = jnp.clip(z0i + 1, 0, sz - 1)
+
+    syx = sy * sx
+    b00 = z0i * syx + y0i * sx
+    b01 = z0i * syx + y1i * sx
+    b10 = z1i * syx + y0i * sx
+    b11 = z1i * syx + y1i * sx
+
+    v000 = jnp.take(flat, b00 + x0i)
+    v001 = jnp.take(flat, b00 + x1i)
+    v010 = jnp.take(flat, b01 + x0i)
+    v011 = jnp.take(flat, b01 + x1i)
+    v100 = jnp.take(flat, b10 + x0i)
+    v101 = jnp.take(flat, b10 + x1i)
+    v110 = jnp.take(flat, b11 + x0i)
+    v111 = jnp.take(flat, b11 + x1i)
+
+    c00 = v000 + (v001 - v000) * fx
+    c01 = v010 + (v011 - v010) * fx
+    c10 = v100 + (v101 - v100) * fx
+    c11 = v110 + (v111 - v110) * fx
+    c0 = c00 + (c01 - c00) * fy
+    c1 = c10 + (c11 - c10) * fy
+    val = c0 + (c1 - c0) * fz
+    return jnp.where(valid, val, 0.0)
+
+
+def _out_coords(out_shape, tmx):
+    """Source-space coordinates for every output voxel of an affine map."""
+    oz, oy, ox = out_shape
+    xs = jnp.arange(ox, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(oy, dtype=jnp.float32)[None, :, None]
+    zs = jnp.arange(oz, dtype=jnp.float32)[:, None, None]
+    m = tmx.reshape(3, 4)
+    cx = m[0, 0] * xs + m[0, 1] * ys + m[0, 2] * zs + m[0, 3]
+    cy = m[1, 0] * xs + m[1, 1] * ys + m[1, 2] * zs + m[1, 3]
+    cz = m[2, 0] * xs + m[2, 1] * ys + m[2, 2] * zs + m[2, 3]
+    return cx, cy, cz
+
+
+@partial(jax.jit, static_argnames=("out_shape",))
+def affine_transform_3d(src, tmx, out_shape):
+    """Resample ``src`` (z,y,x) through a 3x4 matrix into ``out_shape``
+    (z,y,x). Equivalent of ``affinetransformkernel`` + texture fetch
+    (reference:include/cukernel.cuh:500-524)."""
+    tmx = jnp.asarray(tmx, dtype=jnp.float32)
+    cx, cy, cz = _out_coords(out_shape, tmx)
+    return _trilerp_flat(src, cx, cy, cz, strict_lo=False)
+
+
+@partial(jax.jit, static_argnames=())
+def corr3d_partials(src, target, tmx):
+    """Fused resample + NCC partial sums: returns (sum s^2, sum s*t) where
+    s is the affine-resampled ``src`` over ``target``'s grid (zero outside,
+    strict lower bound), t the target. One device call per Powell cost
+    evaluation — the ``corrkernel`` equivalent
+    (reference:include/cukernel.cuh:526-556)."""
+    tmx = jnp.asarray(tmx, dtype=jnp.float32)
+    cx, cy, cz = _out_coords(target.shape, tmx)
+    s = _trilerp_flat(src, cx, cy, cz, strict_lo=True)
+    ss = jnp.sum(s * s)
+    st = jnp.sum(s * target)
+    return ss, st
+
+
+@partial(jax.jit, static_argnames=())
+def corr3d_partials_batch(src, target, tmx_batch):
+    """Vectorized NCC partials over a batch of candidate matrices — powers
+    the multi-probe line search (a TPU-native upgrade the serial reference
+    cannot do). ``tmx_batch``: (N, 12). Returns (N,), (N,)."""
+    def one(m):
+        return corr3d_partials(src, target, m)
+    return jax.vmap(one)(tmx_batch)
+
+
+def _bilerp_flat(src, cx, cy, strict_lo):
+    sy, sx = src.shape
+    flat = src.reshape(-1)
+    if strict_lo:
+        valid = (cx > -0.5) & (cy > -0.5)
+    else:
+        valid = (cx >= -0.5) & (cy >= -0.5)
+    valid &= (cx < sx - 0.5) & (cy < sy - 0.5)
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = cx - x0
+    fy = cy - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, sx - 1)
+    x1i = jnp.clip(x0i + 1, 0, sx - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, sy - 1)
+    y1i = jnp.clip(y0i + 1, 0, sy - 1)
+    v00 = jnp.take(flat, y0i * sx + x0i)
+    v01 = jnp.take(flat, y0i * sx + x1i)
+    v10 = jnp.take(flat, y1i * sx + x0i)
+    v11 = jnp.take(flat, y1i * sx + x1i)
+    c0 = v00 + (v01 - v00) * fx
+    c1 = v10 + (v11 - v10) * fx
+    val = c0 + (c1 - c0) * fy
+    return jnp.where(valid, val, 0.0)
+
+
+def _out_coords_2d(out_shape, tmx6):
+    oy, ox = out_shape
+    xs = jnp.arange(ox, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(oy, dtype=jnp.float32)[:, None]
+    m = tmx6.reshape(2, 3)
+    cx = m[0, 0] * xs + m[0, 1] * ys + m[0, 2]
+    cy = m[1, 0] * xs + m[1, 1] * ys + m[1, 2]
+    return cx, cy
+
+
+@partial(jax.jit, static_argnames=("out_shape",))
+def affine_transform_2d(src, tmx6, out_shape):
+    """2D affine resample, 6-parameter matrix. Both the 2D transform and
+    correlate kernels use the strict lower bound (``tx > 0``,
+    reference:include/cukernel.cuh:558-573)."""
+    tmx6 = jnp.asarray(tmx6, dtype=jnp.float32)
+    cx, cy = _out_coords_2d(out_shape, tmx6)
+    return _bilerp_flat(src, cx, cy, strict_lo=True)
+
+
+@partial(jax.jit, static_argnames=())
+def corr2d_partials(src, target, tmx6):
+    """2D fused resample + NCC partials (``corr2Dkernel``,
+    reference:include/cukernel.cuh:575-596). Note: the 2D kernel samples
+    the *texture* as t over the target grid and multiplies by the static
+    image; the roles match the 3D version in practice because the static
+    image is the mean-subtracted target."""
+    tmx6 = jnp.asarray(tmx6, dtype=jnp.float32)
+    cx, cy = _out_coords_2d(target.shape, tmx6)
+    s = _bilerp_flat(src, cx, cy, strict_lo=True)
+    return jnp.sum(s * s), jnp.sum(s * target)
+
+
+@partial(jax.jit, static_argnames=())
+def corr2d_partials_batch(src, target, tmx_batch):
+    """Batched 2D NCC partials: evaluates N candidate 6-param matrices in
+    one device call. Used to turn the reference's serial (2*totalStep)^2
+    MIP shift-grid search (reference:src/api_subfunc.cu:1951-1971) into a
+    single vmapped sweep."""
+    def one(m):
+        return corr2d_partials(src, target, m)
+    return jax.vmap(one)(tmx_batch)

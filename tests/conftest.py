@@ -1,0 +1,24 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+sharding paths are exercised without TPU hardware (SURVEY.md §4).
+
+The TPU plugin in this environment ignores the JAX_PLATFORMS env var, so we
+force the CPU backend through jax.config before any backend initializes —
+this keeps tests fast (no tunneled-TPU compiles) and deterministic."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
