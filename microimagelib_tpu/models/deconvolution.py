@@ -1,0 +1,249 @@
+"""Richardson-Lucy deconvolution: single-view and joint dual-view, with
+matched (flipped-PSF) or unmatched back projectors (the Guo et al. 2020
+Nature Biotechnology acceleration).
+
+TPU-native design: the whole iteration loop is one jitted
+``lax.fori_loop`` of rFFT convolutions — XLA fuses the elementwise
+ratio/update/clamp stages into the FFT pipeline, and the volume never
+leaves HBM. This replaces the reference's per-step cuFFT launches with
+full synchronization between each (reference:src/api_subfunc.cu:3404-3416).
+
+Numerics note: the reference uses unnormalized cuFFT/FFTW transforms; the
+two inverse-FFT scale factors cancel between the forward-projection ratio
+and the back-projection update (1/N in the ratio's denominator, N on the
+update), so normalized ``jnp.fft`` transforms produce identical results.
+
+Fidelity choices mirrored from the reference:
+  * observed image clamped to >= SMALLVALUE=0.01 before iterating, and the
+    estimate re-clamped each half-iteration (reference:src/api_subfunc.cu:
+    24, 3380, 3416)
+  * "constant initial" uses the image SUM (the reference's ``meanValue``
+    is ``sum3Dgpu`` without division — reference:src/api_subfunc.cu:3382);
+    the constant cancels after the first iteration so this matches
+    bit-for-bit rather than fixing the name
+  * dual-view alternates view A then view B within each iteration
+    (reference:src/api_subfunc.cu:3634-3660)
+  * images padded to the FFT grid with replicate-edge values; PSFs
+    sum-normalized, centered-aligned, circularly split to the origin
+    (``genOTFgpu`` reference:src/api_subfunc.cu:3269-3307)
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from microimagelib_tpu.ops.basics import (
+    align_size_3d,
+    crop_center,
+    flip3,
+    pad_psf_to_origin,
+    pad_stack_edge,
+    snap_fft_size,
+)
+
+SMALLVALUE = 0.01
+
+
+# --------------------------------------------------------------------------
+# OTF preparation
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("fft_shape", "normalize"))
+def gen_otf(psf, fft_shape, normalize=True):
+    """PSF -> OTF on the (z, y, x) FFT grid ``fft_shape``.
+
+    Optional sum-normalization, centered re-size when the PSF exceeds the
+    grid, circular split around the PSF center to the origin, forward
+    rFFT. (``genOTFgpu``, reference:src/api_subfunc.cu:3269-3307.)"""
+    psf = jnp.asarray(psf, dtype=jnp.float32)
+    if normalize:
+        psf = psf / jnp.sum(psf)
+    if any(p > f for p, f in zip(psf.shape, fft_shape)):
+        psf = align_size_3d(psf, fft_shape)
+    padded = pad_psf_to_origin(psf, fft_shape)
+    return jnp.fft.rfftn(padded)
+
+
+# --------------------------------------------------------------------------
+# Jitted RL loops
+# --------------------------------------------------------------------------
+
+def _conv_spec(x, otf, shape):
+    return jnp.fft.irfftn(jnp.fft.rfftn(x) * otf, s=shape)
+
+
+@partial(jax.jit, static_argnames=("n_iters", "const_initial"))
+def rl_decon_single(img, otf, otf_bp, n_iters, const_initial=False):
+    """Single-view RL on a pre-padded FFT-grid image. Returns the estimate
+    on the same grid. (``decon_singleview_OTF1`` loop,
+    reference:src/api_subfunc.cu:3404-3416.)"""
+    shape = img.shape
+    img = jnp.maximum(img, SMALLVALUE)
+    if const_initial:
+        est0 = jnp.full(shape, jnp.sum(img), dtype=img.dtype)
+    else:
+        est0 = img
+
+    def body(_, est):
+        fwd = _conv_spec(est, otf, shape)
+        ratio = img / fwd
+        upd = _conv_spec(ratio, otf_bp, shape)
+        return jnp.maximum(est * upd, SMALLVALUE)
+
+    return jax.lax.fori_loop(0, n_iters, body, est0)
+
+
+@partial(jax.jit, static_argnames=("n_iters", "const_initial"))
+def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters, const_initial=False):
+    """Joint dual-view RL: view A then view B per iteration
+    (``decon_dualview_OTF1``, reference:src/api_subfunc.cu:3634-3660)."""
+    shape = img_a.shape
+    img_a = jnp.maximum(img_a, SMALLVALUE)
+    img_b = jnp.maximum(img_b, SMALLVALUE)
+    if const_initial:
+        est0 = jnp.full(shape, (jnp.sum(img_a) + jnp.sum(img_b)) / 2, dtype=img_a.dtype)
+    else:
+        est0 = (img_a + img_b) * 0.5
+
+    def half(est, img, otf, otf_bp):
+        fwd = _conv_spec(est, otf, shape)
+        ratio = img / fwd
+        upd = _conv_spec(ratio, otf_bp, shape)
+        return jnp.maximum(est * upd, SMALLVALUE)
+
+    def body(_, est):
+        est = half(est, img_a, otf_a, otf_bp_a)
+        est = half(est, img_b, otf_b, otf_bp_b)
+        return est
+
+    return jax.lax.fori_loop(0, n_iters, body, est0)
+
+
+# --------------------------------------------------------------------------
+# Full entries (host orchestration, numpy in/out)
+# --------------------------------------------------------------------------
+
+def _fft_grid(shape_zyx, tpu_friendly=True):
+    return tuple(snap_fft_size(int(s), tpu_friendly) for s in shape_zyx)
+
+
+def _prep_pad(img, fft_shape):
+    if tuple(img.shape) != tuple(fft_shape):
+        return pad_stack_edge(img, fft_shape)
+    return img
+
+
+def decon_singleview(img, psf, n_iters=20, const_initial=False, psf_bp=None,
+                     device=None, mem_mode=-1, verbose=False, records=None,
+                     tpu_friendly_fft=True):
+    """Single-view RL deconvolution, full pipeline
+    (``decon_singleview``, reference:src/api_decon.cpp:53-331).
+
+    img, psf: (z, y, x) arrays. ``psf_bp`` switches to the unmatched
+    back-projector path (reference ``flagUnmatch``); otherwise the back
+    projector is the flipped PSF. Returns the deconvolved volume with
+    img's shape as float32 numpy.
+
+    ``records`` (len-10 list/array, optional) is filled with the reference
+    telemetry layout: [0] mem mode used, [6..9] init/preproc/decon/total
+    seconds (reference:src/api_decon.cpp:56-59). ``mem_mode`` is accepted
+    for API parity; on TPU there is a single HBM-resident path (use
+    microimagelib_tpu.parallel for volumes beyond one chip)."""
+    t0 = time.time()
+    img = jnp.asarray(img, dtype=jnp.float32)
+    psf = jnp.asarray(psf, dtype=jnp.float32)
+    if device is not None:
+        img = jax.device_put(img, device)
+        psf = jax.device_put(psf, device)
+    fft_shape = _fft_grid(img.shape, tpu_friendly_fft)
+    if verbose:
+        print(f"...Image size {img.shape[2]} x {img.shape[1]} x {img.shape[0]}")
+        print(f"...PSF size {psf.shape[2]} x {psf.shape[1]} x {psf.shape[0]}")
+        print(f"...FFT size {fft_shape[2]} x {fft_shape[1]} x {fft_shape[0]}")
+    t1 = time.time()
+
+    otf = gen_otf(psf, fft_shape, normalize=True)
+    if psf_bp is not None:
+        bp = jnp.asarray(psf_bp, dtype=jnp.float32)
+        if device is not None:
+            bp = jax.device_put(bp, device)
+        otf_bp = gen_otf(bp, fft_shape, normalize=True)
+    else:
+        otf_bp = gen_otf(flip3(psf), fft_shape, normalize=True)
+    padded = _prep_pad(img, fft_shape)
+    t2 = time.time()
+
+    est = rl_decon_single(padded, otf, otf_bp, n_iters, const_initial)
+    out = crop_center(est, img.shape) if fft_shape != tuple(img.shape) else est
+    out_np = np.asarray(out)
+    t3 = time.time()
+    if records is not None:
+        records[0] = 1
+        records[6] = t1 - t0
+        records[7] = t2 - t1
+        records[8] = t3 - t2
+        records[9] = t3 - t0
+    return out_np
+
+
+def decon_dualview(img_a, img_b, psf_a, psf_b, n_iters=10, const_initial=False,
+                   psf_bp_a=None, psf_bp_b=None, device=None, mem_mode=-1,
+                   verbose=False, records=None, tpu_friendly_fft=True):
+    """Joint dual-view RL deconvolution
+    (``decon_dualview``, reference:src/api_decon.cpp:333-704). Views must
+    share a shape (validated like reference:src/decon_dv.cpp:167-188).
+    Unmatched back projectors apply only when BOTH are provided, matching
+    the reference's single ``flagUnmatch``."""
+    t0 = time.time()
+    img_a = jnp.asarray(img_a, dtype=jnp.float32)
+    img_b = jnp.asarray(img_b, dtype=jnp.float32)
+    if img_a.shape != img_b.shape:
+        raise ValueError(f"Dual-view images must match in size: {img_a.shape} vs {img_b.shape}")
+    psf_a = jnp.asarray(psf_a, dtype=jnp.float32)
+    psf_b = jnp.asarray(psf_b, dtype=jnp.float32)
+    if device is not None:
+        img_a, img_b, psf_a, psf_b = (jax.device_put(v, device) for v in (img_a, img_b, psf_a, psf_b))
+    fft_shape = _fft_grid(img_a.shape, tpu_friendly_fft)
+    t1 = time.time()
+
+    otf_a = gen_otf(psf_a, fft_shape, normalize=True)
+    otf_b = gen_otf(psf_b, fft_shape, normalize=True)
+    unmatch = psf_bp_a is not None and psf_bp_b is not None
+    if unmatch:
+        otf_bp_a = gen_otf(jnp.asarray(psf_bp_a, dtype=jnp.float32), fft_shape, normalize=True)
+        otf_bp_b = gen_otf(jnp.asarray(psf_bp_b, dtype=jnp.float32), fft_shape, normalize=True)
+    else:
+        otf_bp_a = gen_otf(flip3(psf_a), fft_shape, normalize=True)
+        otf_bp_b = gen_otf(flip3(psf_b), fft_shape, normalize=True)
+    pad_a = _prep_pad(img_a, fft_shape)
+    pad_b = _prep_pad(img_b, fft_shape)
+    t2 = time.time()
+
+    est = rl_decon_dual(pad_a, pad_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters, const_initial)
+    out = crop_center(est, img_a.shape) if fft_shape != tuple(img_a.shape) else est
+    out_np = np.asarray(out)
+    t3 = time.time()
+    if records is not None:
+        records[0] = 1
+        records[6] = t1 - t0
+        records[7] = t2 - t1
+        records[8] = t3 - t2
+        records[9] = t3 - t0
+    return out_np
+
+
+def decon_dualview_prepared(pad_a, pad_b, otf_a, otf_b, otf_bp_a, otf_bp_b,
+                            n_iters, const_initial, out_shape):
+    """Batch-mode fast path: everything already on device / precomputed
+    OTFs, for reuse across timepoints (the reference's
+    ``decon_dualview_batch`` with precomputed OTFs,
+    reference:src/api_decon.cpp:707-985). Returns a device array."""
+    est = rl_decon_dual(pad_a, pad_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters, const_initial)
+    if tuple(out_shape) != tuple(est.shape):
+        est = crop_center(est, out_shape)
+    return est

@@ -1,0 +1,646 @@
+"""2D/3D intensity-based registration: phase correlation, exhaustive MIP
+shift search, and Powell-optimized affine registration over normalized
+cross-correlation, with the reference's DOF-escalation ladder and retry
+semantics.
+
+TPU-native design points:
+  * The Powell cost (affine resample + NCC partials) is ONE jitted device
+    call per evaluation — the analog of the reference's fused
+    ``corrkernel`` + reductions (reference:src/api_subfunc.cu:954-988) but
+    without its per-eval cudaMemcpyToSymbol/texture machinery.
+  * The registration state the reference keeps in non-reentrant file-scope
+    statics (reference:src/api_subfunc.cu:1798-1813) lives in closures; the
+    library is re-entrant.
+  * The 2D MIP shift-grid search evaluates its whole (2*totalStep)^2
+    candidate grid in chunked vmapped device calls instead of serial
+    kernel launches (reference loop: src/api_subfunc.cu:1951-1971).
+  * ``gpuMemMode`` is accepted for API parity; there is a single
+    HBM-resident path (mesh sharding in microimagelib_tpu.parallel covers
+    beyond-HBM volumes).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from microimagelib_tpu.ops.affine import (
+    affine_transform_2d,
+    affine_transform_3d,
+    corr2d_partials,
+    corr2d_partials_batch,
+    corr3d_partials,
+)
+from microimagelib_tpu.ops.basics import (
+    align_size_3d,
+    circshift,
+    crop_at,
+    imshift,
+    max3d_with_coords,
+    max_projection,
+)
+from microimagelib_tpu.ops.matrix import (
+    compose_affine,
+    dof_to_matrix,
+    identity_tmx,
+    matrix_to_params,
+    params_to_matrix,
+)
+from microimagelib_tpu.ops.powell import EvalCounter, powell
+
+NDIM = 12
+
+
+# --------------------------------------------------------------------------
+# Plausibility gate
+# --------------------------------------------------------------------------
+
+def checkmatrix(m, sx, sy, sz):
+    """Affine sanity gate: diagonal scales in [0.5, 1.4], their sum in
+    [2, 4], translations below 0.8x the extent
+    (reference:src/api_reg.cpp:247-262)."""
+    m = np.asarray(m, dtype=np.float64).reshape(12)
+    if not (0.5 <= m[0] <= 1.4 and 0.5 <= m[5] <= 1.4 and 0.5 <= m[10] <= 1.4):
+        return False
+    tr = m[0] + m[5] + m[10]
+    if not (2.0 <= tr <= 4.0):
+        return False
+    if abs(m[3]) > 0.8 * sx or abs(m[7]) > 0.8 * sy or abs(m[11]) > 0.8 * sz:
+        return False
+    return True
+
+
+# --------------------------------------------------------------------------
+# Standalone affine application (atrans3dgpu equivalents)
+# --------------------------------------------------------------------------
+
+def atrans3dgpu(img2, tmx, out_shape_zyx, device=None):
+    """Apply a 3x4 matrix to a volume, producing ``out_shape_zyx``
+    (reference:src/api_reg.cpp:58-85). numpy in/out."""
+    src = jnp.asarray(img2, dtype=jnp.float32)
+    if device is not None:
+        src = jax.device_put(src, device)
+    out = affine_transform_3d(src, np.asarray(tmx, np.float32), tuple(out_shape_zyx))
+    return np.asarray(out)
+
+
+def atrans3dgpu_16bit(img2_u16, tmx, out_shape_zyx, device=None):
+    """16-bit path: interpolate in float, truncate back to uint16
+    (reference:src/api_reg.cpp:87-113; the reference's u16 texture config
+    is broken — reference:src/api_subfunc.cu:909-919 — so we define the
+    sane semantics: float trilinear then integer truncation)."""
+    out = atrans3dgpu(np.asarray(img2_u16, np.float32), tmx, out_shape_zyx, device)
+    return out.astype(np.uint16)
+
+
+# --------------------------------------------------------------------------
+# ZNCC (whole-volume)
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _zncc_dev(a, b):
+    am = a - jnp.mean(a)
+    bm = b - jnp.mean(b)
+    st = jnp.sum(am * bm)
+    tt = jnp.sum(am * am)
+    ss = jnp.sum(bm * bm)
+    return st, tt, ss
+
+
+def zncc(a, b):
+    """Zero-normalized cross correlation of two equal-shape volumes
+    (``zncc1``, reference:src/api_subfunc.cu:2414-2441); -2.0 sentinel on
+    zero energy."""
+    st, tt, ss = _zncc_dev(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32))
+    denom = math.sqrt(float(tt) * float(ss))
+    if denom == 0:
+        return -2.0
+    return float(st) / denom
+
+
+# --------------------------------------------------------------------------
+# Phase correlation (phasor) registration
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _phasor_surface3(img1, img2):
+    f1c = jnp.conj(jnp.fft.rfftn(img1))
+    f2 = jnp.fft.rfftn(img2)
+    prod = f1c * f2
+    mag = jnp.abs(prod)
+    norm = jnp.where(mag != 0, prod / mag, 0.0)
+    return jnp.fft.irfftn(norm, s=img1.shape)
+
+
+def _phasor_shift_nd(img1, img2):
+    """Raw phasor peak -> integer shift per axis (x, y, z ordering for 3D;
+    x, y for 2D). Mirrors circshift-by-half then argmax-minus-half
+    (reference:src/api_subfunc.cu:2476-2492)."""
+    surf = _phasor_surface3(img1, img2)
+    if surf.ndim == 2:
+        sy, sx = surf.shape
+        surf = circshift(surf[None], sx // 2, sy // 2, 0)[0]
+        _, (x, y, _z) = max3d_with_coords(surf[None])
+        return [int(x) - sx // 2, int(y) - sy // 2]
+    sz, sy, sx = surf.shape
+    surf = circshift(surf, sx // 2, sy // 2, sz // 2)
+    _, (x, y, z) = max3d_with_coords(surf)
+    return [int(x) - sx // 2, int(y) - sy // 2, int(z) - sz // 2]
+
+
+def _disambiguate_shifts(img1, img2, shifts, dims_xyz):
+    """Wraparound disambiguation: when any |shift| exceeds size/4, compare
+    ZNCC over the up-to-8 (3D) / 4 (2D) crop interpretations and flip the
+    winning axes to the complementary shift
+    (reference:src/api_subfunc.cu:2496-2589)."""
+    beta = 4
+    nd = len(shifts)
+    sizes = dims_xyz
+    if not any(abs(shifts[i]) > sizes[i] // beta for i in range(nd)):
+        return shifts
+    if nd == 2:
+        shifted = imshift(img2[None], -shifts[0], -shifts[1], 0)[0]
+    else:
+        shifted = imshift(img2, -shifts[0], -shifts[1], -shifts[2])
+    # per-axis candidate crops: index 0 original, 1 complementary
+    crop_sizes = []
+    offsets = []
+    for i in range(nd):
+        ab = abs(shifts[i])
+        crop_sizes.append([sizes[i] - ab, ab])
+        if shifts[i] > 0:
+            offsets.append([0, sizes[i] - ab])
+        else:
+            offsets.append([ab, 0])
+    best = None
+    cc_max = -3.0
+    idx_ranges = [range(2)] * nd
+    import itertools
+    for comb in itertools.product(*idx_ranges):
+        if any(crop_sizes[i][comb[i]] <= sizes[i] // beta for i in range(nd)):
+            continue
+        cs = [crop_sizes[i][comb[i]] for i in range(nd)]
+        off = [offsets[i][comb[i]] for i in range(nd)]
+        if nd == 2:
+            shape_zyx = (1, cs[1], cs[0])
+            off_xyz = (off[0], off[1], 0)
+            c1 = crop_at(img1[None], shape_zyx, off_xyz)
+            c2 = crop_at(shifted[None], shape_zyx, off_xyz)
+        else:
+            shape_zyx = (cs[2], cs[1], cs[0])
+            off_xyz = (off[0], off[1], off[2])
+            c1 = crop_at(img1, shape_zyx, off_xyz)
+            c2 = crop_at(shifted, shape_zyx, off_xyz)
+        cc = zncc(c1, c2)
+        if cc > cc_max:
+            cc_max = cc
+            best = comb
+    if best is None:
+        return shifts
+    out = list(shifts)
+    for i in range(nd):
+        if best[i] == 1:
+            out[i] = shifts[i] - sizes[i] if shifts[i] > 0 else shifts[i] + sizes[i]
+    return out
+
+
+def reg3d_phasor(img1, img2):
+    """3D phase correlation with 8-case wraparound disambiguation
+    (``reg3d_phasor1``, reference:src/api_subfunc.cu:2465-2590). Inputs
+    are (z, y, x) device/NumPy arrays of equal shape; returns (sx, sy, sz)
+    integer shifts (x, y, z order)."""
+    a = jnp.asarray(img1, jnp.float32)
+    b = jnp.asarray(img2, jnp.float32)
+    sz, sy, sx = a.shape
+    shifts = _phasor_shift_nd(a, b)
+    return _disambiguate_shifts(a, b, shifts, [sx, sy, sz])
+
+
+def reg2d_phasor(img1, img2):
+    """2D analog (``reg2d_phasor1``, reference:src/api_subfunc.cu:2127-2224)."""
+    a = jnp.asarray(img1, jnp.float32)
+    b = jnp.asarray(img2, jnp.float32)
+    sy, sx = a.shape
+    shifts = _phasor_shift_nd(a, b)
+    return _disambiguate_shifts(a, b, shifts, [sx, sy])
+
+
+# --------------------------------------------------------------------------
+# 2D registration: shift-grid search and Powell affine
+# --------------------------------------------------------------------------
+
+def _prep_2d(img1, img2):
+    """Mean-subtract both 2D images; return device arrays + target SD."""
+    t = np.asarray(img1, np.float64)
+    s = np.asarray(img2, np.float64)
+    t_ms = t - t.mean()
+    sd_t = math.sqrt(float((t_ms * t_ms).sum()))
+    if sd_t == 0:
+        raise ValueError("SD of image 1 is zero, empty image input")
+    s_ms = s - s.mean()
+    return jnp.asarray(t_ms, jnp.float32), jnp.asarray(s_ms, jnp.float32), sd_t
+
+
+def _cost2d(src_dev, tgt_dev, sd_t):
+    def cost(p6):
+        m = np.asarray(p6, np.float32)
+        ss, st = corr2d_partials(src_dev, tgt_dev, m)
+        ssf = math.sqrt(float(ss))
+        if ssf == 0:
+            return 2.0
+        return -(float(st) / ssf) / sd_t
+    return cost
+
+
+def reg2d_shiftalign(img1, img2, tmx_init=None, shift_region=0.4, total_step=40,
+                     x_only=False, records=None):
+    """Exhaustive 2D translation grid search over +-shift_region*size in
+    2*total_step steps per axis (``reg2d_shiftalign1``/``X1``,
+    reference:src/api_subfunc.cu:1859-2120). All candidates are evaluated
+    in chunked vmapped device calls. Returns (reg_ms, tmx6) where reg_ms
+    is the transformed mean-subtracted source (the reference returns that
+    too) and tmx6 the found 6-parameter matrix."""
+    t0 = time.time()
+    sy1, sx1 = np.asarray(img1).shape
+    sy2, sx2 = np.asarray(img2).shape
+    tgt, src, sd_t = _prep_2d(img1, img2)
+    if tmx_init is not None:
+        aff = np.asarray(tmx_init, np.float64).copy()
+    else:
+        aff = np.array([1, 0, (sx2 - sx1) // 2, 0, 1, (sy2 - sy1) // 2], np.float64)
+    cost = _cost2d(src, tgt, sd_t)
+    initial_cost = -cost(aff.astype(np.float32))
+    if records is not None:
+        records[4] = initial_cost
+
+    off_x, off_y = aff[2], aff[5]
+    step_x = sx2 * shift_region / total_step
+    steps = np.arange(-int(total_step), int(total_step))
+    cand_x = off_x + step_x * steps
+    if x_only:
+        cands = np.stack([
+            np.broadcast_to(aff[0], cand_x.shape), np.broadcast_to(aff[1], cand_x.shape), cand_x,
+            np.broadcast_to(aff[3], cand_x.shape), np.broadcast_to(aff[4], cand_x.shape),
+            np.broadcast_to(aff[5], cand_x.shape),
+        ], axis=1).astype(np.float32)
+    else:
+        step_y = sy2 * shift_region / total_step
+        cand_y = off_y + step_y * steps
+        gx, gy = np.meshgrid(cand_x, cand_y, indexing="ij")
+        flat_x, flat_y = gx.ravel(), gy.ravel()
+        n = flat_x.size
+        cands = np.stack([
+            np.broadcast_to(aff[0], (n,)), np.broadcast_to(aff[1], (n,)), flat_x,
+            np.broadcast_to(aff[3], (n,)), np.broadcast_to(aff[4], (n,)), flat_y,
+        ], axis=1).astype(np.float32)
+    # evaluate candidates in chunks to bound memory
+    best_cost = 0.0  # reference starts the max at 0 => shift stays (0,0) if all <= 0
+    best_x, best_y = 0.0, 0.0
+    chunk = 256
+    for i in range(0, len(cands), chunk):
+        batch = jnp.asarray(cands[i : i + chunk])
+        ss_b, st_b = corr2d_partials_batch(src, tgt, batch)
+        ss_b = np.asarray(ss_b)
+        st_b = np.asarray(st_b)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ncc = np.where(np.sqrt(ss_b) == 0, -2.0, st_b / np.sqrt(ss_b) / sd_t)
+        j = int(np.argmax(ncc))
+        if ncc[j] > best_cost:
+            best_cost = float(ncc[j])
+            best_x = float(cands[i + j, 2])
+            best_y = float(cands[i + j, 5])
+    aff_out = aff.copy()
+    aff_out[2] = best_x
+    if not x_only:
+        aff_out[5] = best_y
+    fret = -cost(aff_out.astype(np.float32))
+    reg = affine_transform_2d(src, aff_out.astype(np.float32), (sy1, sx1))
+    if records is not None:
+        records[5] = fret
+        records[7] = time.time() - t0
+        records[8] = (2 * int(total_step)) ** 2 if not x_only else 2 * int(total_step)
+    return np.asarray(reg), aff_out.astype(np.float32)
+
+
+def reg2d_affine(img1, img2, tmx_init=None, aff_method=1, ftol=1e-4, it_limit=3000,
+                 records=None):
+    """2D Powell affine registration, 6 parameters, mean-subtracted NCC
+    (``reg2d_affine1``, reference:src/api_subfunc.cu:2232-2336). Returns
+    (registered original source, tmx6)."""
+    t0 = time.time()
+    sy1, sx1 = np.asarray(img1).shape
+    sy2, sx2 = np.asarray(img2).shape
+    tgt, src, sd_t = _prep_2d(img1, img2)
+    if tmx_init is not None:
+        aff = np.asarray(tmx_init, np.float64).copy()
+    else:
+        aff = np.array([1, 0, (sx2 - sx1) // 2, 0, 1, (sy2 - sy1) // 2], np.float64)
+    cost = _cost2d(src, tgt, sd_t)
+    counter = EvalCounter(cost)
+    if records is not None:
+        records[1] = -counter(aff)
+    fret = None
+    if aff_method > 0:
+        aff, fret, _, counter = powell(aff, cost, ftol, it_limit, counter=counter)
+    # final resample of the ORIGINAL (non-mean-subtracted) source
+    src_orig = jnp.asarray(np.asarray(img2, np.float32))
+    reg = affine_transform_2d(src_orig, aff.astype(np.float32), (sy1, sx1))
+    if records is not None:
+        records[3] = -fret if fret is not None else records[1]
+        records[5] = counter.count
+        records[7] = time.time() - t0
+    return np.asarray(reg), aff.astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# 3D Powell affine registration core
+# --------------------------------------------------------------------------
+
+def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
+                 it_limit=3000, verbose=False, records=None, device=None):
+    """Core 3D affine registration (``reg3d_affine1``,
+    reference:src/api_subfunc.cu:2732-2994).
+
+    img1: target (fixed), img2: source (moving), equal (z, y, x) shapes.
+    aff_method 0-7 as the reference ladder; flag_tmx/tmx is the input
+    matrix. Returns (registered source, tmx12, records).
+
+    records layout (len 8+): [1] initial NCC, [2] intermediate NCC,
+    [3] final NCC, [4] per-eval ms, [5] total evals, [6] iteration s,
+    [7] total s (reference:src/api_reg.cpp:295-300)."""
+    t_start = time.time()
+    if records is None:
+        records = np.zeros(11, dtype=np.float64)
+    img1 = jnp.asarray(img1, jnp.float32)
+    img2 = jnp.asarray(img2, jnp.float32)
+    if device is not None:
+        img1 = jax.device_put(img1, device)
+        img2 = jax.device_put(img2, device)
+    sz, sy, sx = img1.shape
+    total = sx * sy * sz
+
+    if aff_method == 0:
+        if flag_tmx and tmx is not None:
+            reg = affine_transform_3d(img2, np.asarray(tmx, np.float32), img1.shape)
+            out_tmx = np.asarray(tmx, np.float32).copy()
+        else:
+            reg = img2
+            out_tmx = identity_tmx()
+        records[7] = time.time() - t_start
+        if verbose:
+            print("\t... no registration performed!")
+        return np.asarray(reg), out_tmx, records
+
+    aff_initial = identity_tmx().astype(np.float64)
+    pre_transformed = False
+    if flag_tmx and tmx is not None:
+        if aff_method == 5:
+            aff_initial = np.asarray(tmx, np.float64).copy()
+        else:
+            src_pre = affine_transform_3d(img2, np.asarray(tmx, np.float32), img1.shape)
+            pre_transformed = True
+
+    # --- preprocess source: mean-subtract (possibly pre-transformed) ---
+    src_base = src_pre if pre_transformed else img2
+    src_mean = float(jnp.sum(src_base)) / total
+    src_ms = src_base - src_mean
+    src_energy = math.sqrt(float(jnp.sum(src_ms * src_ms)))
+    if src_energy == 0:
+        raise ValueError("SD of image 2 is zero, empty image input or empty image after initial transformation")
+
+    # --- preprocess target ---
+    tgt_mean = float(jnp.sum(img1)) / total
+    tgt_ms = img1 - tgt_mean
+    sd_t = math.sqrt(float(jnp.sum(tgt_ms * tgt_ms)))
+    if sd_t == 0:
+        raise ValueError("SD of image 1 is zero, empty image input")
+
+    # --- cost closure: one fused device call per evaluation ---
+    def cost_from_matrix(m12):
+        ss, st = corr3d_partials(src_ms, tgt_ms, np.asarray(m12, np.float32))
+        ssf = math.sqrt(float(ss))
+        if ssf == 0:
+            return 2.0
+        return -(float(st) / ssf) / sd_t
+
+    def cost12(p):
+        return cost_from_matrix(params_to_matrix(p))
+
+    def cost_dof(dof_vec, dof_num):
+        return cost_from_matrix(dof_to_matrix(dof_vec, dof_num))
+
+    # one counter shared across ladder stages so it_limit caps the total,
+    # as the reference's itNumStatic does
+    counter = EvalCounter(None)
+
+    t1 = time.time()
+    p_init = matrix_to_params(aff_initial)
+    initial_cost = cost12(p_init)
+    records[1] = -initial_cost
+    records[4] = (time.time() - t1) * 1000.0
+    if verbose:
+        print(f"\t... initial cross correlation value: {-initial_cost:f};")
+        print(f"\t... time cost for single sub iteration: {records[4]:f} ms;")
+
+    t_iter0 = time.time()
+
+    def run_powell(p0, fn, this_ftol):
+        counter.func = fn
+        p_min, f_min, _, _ = powell(p0, fn, this_ftol, it_limit, counter=counter)
+        return p_min, f_min
+
+    fret = initial_cost
+    dof9 = np.zeros(9, dtype=np.float64)
+    dof9[6:9] = 1.0
+
+    def run_dof_stage(dof_num, this_ftol):
+        """Optimize only the first ``dof_num`` DOF components — like the
+        reference passing dofNum as Powell's dimensionality
+        (reference:src/api_subfunc.cu:2893-2916); the trailing components
+        keep their current values and are never searched."""
+        nonlocal dof9
+        sub0 = dof9[:dof_num].copy()
+
+        def fn(sub):
+            full = dof9.copy()
+            full[:dof_num] = sub
+            return cost_dof(full, dof_num)
+
+        sub_min, f_min = run_powell(sub0, fn, this_ftol)
+        dof9[:dof_num] = sub_min
+        return f_min
+
+    if aff_method in (1, 2, 3, 4):
+        dof_num = {1: 3, 2: 6, 3: 7, 4: 9}[aff_method]
+        fret = run_dof_stage(dof_num, ftol)
+        aff_coef = dof_to_matrix(dof9, dof_num)
+    elif aff_method == 5:
+        p, fret = run_powell(p_init.astype(np.float64), cost12, ftol)
+        aff_coef = params_to_matrix(p)
+    elif aff_method == 6:
+        fret = run_dof_stage(6, 0.01)
+        records[2] = -fret
+        if verbose:
+            print(f"\t... cross correlation value after 6 DOF: {-fret:f};")
+        p = matrix_to_params(dof_to_matrix(dof9, 6)).astype(np.float64)
+        p, fret = run_powell(p, cost12, ftol)
+        aff_coef = params_to_matrix(p)
+    elif aff_method == 7:
+        fret = run_dof_stage(3, 0.01)
+        if verbose:
+            print(f"\t... cross correlation value after 3 DOF: {-fret:f};")
+        fret = run_dof_stage(6, 0.01)
+        if verbose:
+            print(f"\t... cross correlation value after 6 DOF: {-fret:f};")
+        fret = run_dof_stage(9, 0.005)
+        records[2] = -fret
+        if verbose:
+            print(f"\t... cross correlation value after 9 DOF: {-fret:f};")
+        p = matrix_to_params(dof_to_matrix(dof9, 9)).astype(np.float64)
+        p, fret = run_powell(p, cost12, ftol)
+        aff_coef = params_to_matrix(p)
+    else:
+        raise ValueError("Wrong affine registration method")
+
+    if flag_tmx and tmx is not None and aff_method != 5:
+        aff_coef = compose_affine(np.asarray(tmx, np.float32), aff_coef)
+
+    records[3] = -fret
+    records[5] = counter.count
+    records[6] = time.time() - t_iter0
+    if verbose:
+        print(f"\t... optimized cross correlation value: {-fret:f};")
+        print(f"\t... total sub iteration number: {counter.count};")
+        print(f"\t... time cost for all iterations: {records[6]:f} s;")
+
+    reg = affine_transform_3d(img2, aff_coef, img1.shape)
+    records[7] = time.time() - t_start
+    if verbose:
+        print(f"\t... time cost for registration: {records[7]:f} s;")
+    return np.asarray(reg), np.asarray(aff_coef, np.float32), records
+
+
+# --------------------------------------------------------------------------
+# reg3d dispatcher
+# --------------------------------------------------------------------------
+
+def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
+          ftol=1e-4, it_limit=3000, device=None, mem_mode=-1, verbose=False,
+          records=None):
+    """Main 3D registration entry (``reg3d``,
+    reference:src/api_reg.cpp:264-607).
+
+    reg_choice: 0 apply-matrix only; 1 phasor; 2 affine; 3 phasor->affine;
+    4 2D-MIP-shift-align->affine. Source is centered-aligned to the
+    target's shape first when sizes differ (reference:src/api_reg.cpp:
+    398-407). Returns (registered, tmx12, records)."""
+    t0 = time.time()
+    if records is None:
+        records = np.zeros(11, dtype=np.float64)
+    img1 = jnp.asarray(img1, jnp.float32)
+    img2 = jnp.asarray(img2, jnp.float32)
+    if device is not None:
+        img1 = jax.device_put(img1, device)
+        img2 = jax.device_put(img2, device)
+    if img1.shape != img2.shape:
+        img2 = align_size_3d(img2, img1.shape)
+    sz, sy, sx = img1.shape
+    records[0] = 1
+
+    if reg_choice == 0:
+        reg, out_tmx, records = reg3d_affine(
+            img1, img2, 0, flag_tmx, tmx, ftol, it_limit, verbose, records, device)
+    elif reg_choice == 1:
+        shifts = reg3d_phasor(img1, img2)
+        reg = np.asarray(imshift(img2, -shifts[0], -shifts[1], -shifts[2]))
+        out_tmx = identity_tmx()
+        out_tmx[3], out_tmx[7], out_tmx[11] = shifts
+    elif reg_choice == 2:
+        reg, out_tmx, records = reg3d_affine(
+            img1, img2, aff_method, flag_tmx, tmx, ftol, it_limit, verbose, records, device)
+    elif reg_choice == 3:
+        shifts = reg3d_phasor(img1, img2)
+        t = identity_tmx()
+        t[3], t[7], t[11] = shifts
+        reg, out_tmx, records = reg3d_affine(
+            img1, img2, aff_method, True, t, ftol, it_limit, verbose, records, device)
+    elif reg_choice == 4:
+        if verbose:
+            print("\t... 2D MIP registration ... ")
+        # XY MIPs -> 2D shift align (both axes)
+        mip1_xy = np.asarray(max_projection(img1, 1))
+        mip2_xy = np.asarray(max_projection(img2, 1))
+        _, tmx1 = reg2d_shiftalign(mip1_xy, mip2_xy, None, 0.3, 30, x_only=False)
+        # ZX MIPs -> X-only align (x of the MIP = volume z); carries the
+        # found x-shift into the unsearched second component like the
+        # reference (tmx2[5] = tmx1[2], reference:src/api_reg.cpp:494)
+        mip1_zx = np.asarray(max_projection(img1, 2))
+        mip2_zx = np.asarray(max_projection(img2, 2))
+        t2_init = np.array([1, 0, 0, 0, 1, tmx1[2]], np.float32)
+        _, tmx2 = reg2d_shiftalign(mip1_zx, mip2_zx, t2_init, 0.3, 30, x_only=True)
+        t = identity_tmx()
+        t[3], t[7], t[11] = tmx1[2], tmx1[5], tmx2[2]
+        if verbose:
+            print(f"\t... shift translation, X: {t[3]:.1f}; Y: {t[7]:.1f}; Z: {t[11]:.1f}")
+            print("\t... 3D registration ... ")
+        reg, out_tmx, records = reg3d_affine(
+            img1, img2, aff_method, True, t, ftol, it_limit, verbose, records, device)
+    else:
+        raise ValueError("Wrong registration choice")
+
+    records[7] = time.time() - t0
+    return np.asarray(reg), out_tmx, records
+
+
+def reg_3dgpu(img1, img2, aff_method=7, input_tmx=False, tmx=None, ftol=1e-4,
+              it_limit=3000, device=None, records=None):
+    """Legacy wrapper: MIP-initialized registration with checkmatrix
+    fallback to plain affine (``reg_3dgpu``,
+    reference:src/api_reg.cpp:609-652)."""
+    reg_choice = 2 if input_tmx else 4
+    reg, out_tmx, records = reg3d(img1, img2, reg_choice, aff_method, input_tmx,
+                                  tmx, ftol, it_limit, device, 1, False, records)
+    sz, sy, sx = np.asarray(img1).shape
+    if not checkmatrix(out_tmx, sx, sy, sz):
+        reg, out_tmx, records = reg3d(img1, img2, 2, aff_method, input_tmx,
+                                      tmx, ftol, it_limit, device, 1, False, records)
+    return reg, out_tmx, records
+
+
+# --------------------------------------------------------------------------
+# reg2d dispatcher
+# --------------------------------------------------------------------------
+
+def reg2d(img1, img2, reg_choice=2, flag_tmx=False, tmx=None, ftol=1e-4,
+          it_limit=3000, records=None):
+    """2D registration dispatcher (``reg2d``,
+    reference:src/api_reg.cpp:115-244). reg_choice: 0 apply matrix,
+    1 shift grid, 2 affine, 3 phasor. Returns (registered, tmx6, records)."""
+    if records is None:
+        records = np.zeros(11, dtype=np.float64)
+    sy1, sx1 = np.asarray(img1).shape
+    if reg_choice == 0:
+        if flag_tmx and tmx is not None:
+            src = jnp.asarray(np.asarray(img2, np.float32))
+            reg = np.asarray(affine_transform_2d(src, np.asarray(tmx, np.float32), (sy1, sx1)))
+            return reg, np.asarray(tmx, np.float32), records
+        return np.asarray(img2, np.float32), np.array([1, 0, 0, 0, 1, 0], np.float32), records
+    if reg_choice == 1:
+        reg, out = reg2d_shiftalign(img1, img2, tmx if flag_tmx else None, 0.4, 40, records=records)
+        return reg, out, records
+    if reg_choice == 2:
+        reg, out = reg2d_affine(img1, img2, tmx if flag_tmx else None, 1, ftol, it_limit, records)
+        return reg, out, records
+    if reg_choice == 3:
+        if np.asarray(img1).shape != np.asarray(img2).shape:
+            raise ValueError("Image size of the 2D images is not matched")
+        shifts = reg2d_phasor(img1, img2)
+        src = jnp.asarray(np.asarray(img2, np.float32))
+        reg = np.asarray(imshift(src[None], -shifts[0], -shifts[1], 0)[0])
+        out = np.array([1, 0, shifts[0], 0, 1, shifts[1]], np.float32)
+        return reg, out, records
+    raise ValueError("Wrong registration choice")

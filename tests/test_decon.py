@@ -1,0 +1,158 @@
+import numpy as np
+import jax.numpy as jnp
+
+from microimagelib_tpu.models.deconvolution import (
+    SMALLVALUE,
+    decon_dualview,
+    decon_singleview,
+    gen_otf,
+    rl_decon_dual,
+    rl_decon_single,
+)
+
+
+def gaussian_psf(shape, sigma):
+    zz, yy, xx = np.meshgrid(*[np.arange(s) - s // 2 for s in shape], indexing="ij")
+    g = np.exp(-(xx**2 + yy**2 + zz**2) / (2 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def beads_volume(shape, n=12, seed=0):
+    rng = np.random.default_rng(seed)
+    vol = np.zeros(shape, dtype=np.float32)
+    for _ in range(n):
+        z, y, x = (rng.integers(4, s - 4) for s in shape)
+        vol[z, y, x] = rng.uniform(50, 200)
+    return vol
+
+
+def np_rl_single(img, psf, n_iters, const_initial=False):
+    """NumPy oracle reproducing the reference loop with normalized FFTs
+    (reference:src/api_subfunc.cu:3404-3416)."""
+    shape = img.shape
+    psf = psf / psf.sum()
+    # circular pad to origin
+    pad = np.zeros(shape, dtype=np.float64)
+    pz, py, px = psf.shape
+    pad[:pz, :py, :px] = psf
+    pad = np.roll(pad, (-(pz // 2), -(py // 2), -(px // 2)), axis=(0, 1, 2))
+    otf = np.fft.rfftn(pad)
+    bp = psf[::-1, ::-1, ::-1]
+    pad2 = np.zeros(shape, dtype=np.float64)
+    pad2[:pz, :py, :px] = bp
+    pad2 = np.roll(pad2, (-(pz // 2), -(py // 2), -(px // 2)), axis=(0, 1, 2))
+    otf_bp = np.fft.rfftn(pad2)
+    img = np.maximum(img.astype(np.float64), SMALLVALUE)
+    est = np.full(shape, img.sum()) if const_initial else img.copy()
+    for _ in range(n_iters):
+        fwd = np.fft.irfftn(np.fft.rfftn(est) * otf, s=shape)
+        ratio = img / fwd
+        upd = np.fft.irfftn(np.fft.rfftn(ratio) * otf_bp, s=shape)
+        est = np.maximum(est * upd, SMALLVALUE)
+    return est
+
+
+def test_gen_otf_dc_is_one():
+    psf = gaussian_psf((9, 9, 9), 1.5)
+    otf = np.asarray(gen_otf(jnp.asarray(psf), (16, 16, 16)))
+    np.testing.assert_allclose(otf[0, 0, 0], 1.0, atol=1e-5)
+
+
+def test_rl_single_matches_numpy_oracle():
+    shape = (16, 16, 16)
+    truth = beads_volume(shape, n=5)
+    psf = gaussian_psf((7, 7, 7), 1.2)
+    # blur
+    pad = np.zeros(shape)
+    pad[:7, :7, :7] = psf
+    pad = np.roll(pad, (-3, -3, -3), axis=(0, 1, 2))
+    img = np.fft.irfftn(np.fft.rfftn(truth) * np.fft.rfftn(pad), s=shape).astype(np.float32)
+
+    otf = gen_otf(jnp.asarray(psf), shape)
+    otf_bp = gen_otf(jnp.asarray(psf[::-1, ::-1, ::-1]), shape)
+    est = np.asarray(rl_decon_single(jnp.asarray(img), otf, otf_bp, 8))
+    oracle = np_rl_single(img, psf, 8)
+    np.testing.assert_allclose(est, oracle, rtol=2e-3, atol=2e-3)
+
+
+def test_rl_sharpens_monotonically():
+    shape = (24, 24, 24)
+    truth = beads_volume(shape, n=8)
+    psf = gaussian_psf((9, 9, 9), 1.5)
+    pad = np.zeros(shape)
+    pad[:9, :9, :9] = psf
+    pad = np.roll(pad, (-4, -4, -4), axis=(0, 1, 2))
+    img = np.fft.irfftn(np.fft.rfftn(truth) * np.fft.rfftn(pad), s=shape).astype(np.float32)
+
+    def corr(a, b):
+        a, b = a.ravel() - a.mean(), b.ravel() - b.mean()
+        return (a @ b) / np.sqrt((a @ a) * (b @ b))
+
+    prev = corr(img, truth)
+    for it in (4, 12):
+        out = decon_singleview(img, psf, n_iters=it, tpu_friendly_fft=False)
+        c = corr(out, truth)
+        assert c > prev, f"iteration {it} did not sharpen: {c} <= {prev}"
+        prev = c
+
+
+def test_decon_singleview_shapes_and_pad():
+    img = beads_volume((20, 24, 28), n=6) + 1.0
+    psf = gaussian_psf((7, 7, 7), 1.3)
+    rec = np.zeros(10)
+    out = decon_singleview(img, psf, n_iters=3, records=rec)
+    assert out.shape == img.shape
+    assert rec[9] > 0
+
+
+def test_unmatched_bp_equals_matched_when_flipped():
+    img = beads_volume((16, 16, 16), n=4) + 1.0
+    psf = gaussian_psf((7, 7, 7), 1.2)
+    out_matched = decon_singleview(img, psf, n_iters=4)
+    out_unmatched = decon_singleview(img, psf, n_iters=4, psf_bp=psf[::-1, ::-1, ::-1])
+    np.testing.assert_allclose(out_matched, out_unmatched, rtol=1e-5, atol=1e-4)
+
+
+def test_dualview_joint_beats_singleview_with_orthogonal_psfs():
+    shape = (24, 24, 24)
+    truth = beads_volume(shape, n=8, seed=3)
+    # anisotropic PSFs: elongated along z for view A, along x for view B
+    zz, yy, xx = np.meshgrid(*[np.arange(9) - 4 for _ in range(3)], indexing="ij")
+    psf_a = np.exp(-(xx**2 + yy**2) / 2.0 - zz**2 / 18.0).astype(np.float32)
+    psf_a /= psf_a.sum()
+    psf_b = np.transpose(psf_a, (2, 1, 0)).copy()
+
+    def blur(t, p):
+        pad = np.zeros(shape)
+        pad[:9, :9, :9] = p
+        pad = np.roll(pad, (-4, -4, -4), axis=(0, 1, 2))
+        return np.fft.irfftn(np.fft.rfftn(t) * np.fft.rfftn(pad), s=shape).astype(np.float32)
+
+    img_a, img_b = blur(truth, psf_a), blur(truth, psf_b)
+
+    def corr(a, b):
+        a, b = a.ravel() - a.mean(), b.ravel() - b.mean()
+        return (a @ b) / np.sqrt((a @ a) * (b @ b))
+
+    single = decon_singleview(img_a, psf_a, n_iters=10)
+    joint = decon_dualview(img_a, img_b, psf_a, psf_b, n_iters=10)
+    assert corr(joint, truth) > corr(single, truth)
+
+
+def test_dualview_size_mismatch_raises():
+    img_a = np.ones((8, 8, 8), np.float32)
+    img_b = np.ones((8, 8, 9), np.float32)
+    psf = gaussian_psf((5, 5, 5), 1.0)
+    try:
+        decon_dualview(img_a, img_b, psf, psf, n_iters=1)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_const_initial_runs():
+    img = beads_volume((16, 16, 16), n=4) + 1.0
+    psf = gaussian_psf((5, 5, 5), 1.0)
+    out = decon_singleview(img, psf, n_iters=3, const_initial=True)
+    oracle = np_rl_single(np.maximum(img, SMALLVALUE), psf, 3, const_initial=True)
+    np.testing.assert_allclose(out, oracle, rtol=5e-3, atol=5e-3)

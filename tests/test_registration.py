@@ -1,0 +1,166 @@
+import numpy as np
+import jax.numpy as jnp
+
+from microimagelib_tpu.models.registration import (
+    atrans3dgpu,
+    checkmatrix,
+    reg2d,
+    reg2d_phasor,
+    reg3d,
+    reg3d_affine,
+    reg3d_phasor,
+    reg_3dgpu,
+    zncc,
+)
+from microimagelib_tpu.ops.affine import affine_transform_3d
+from microimagelib_tpu.ops.matrix import dof_to_matrix, identity_tmx
+
+
+def smooth_blobs(shape, n=10, seed=0, sigma=2.0):
+    rng = np.random.default_rng(seed)
+    vol = np.zeros(shape, dtype=np.float32)
+    for _ in range(n):
+        z, y, x = (rng.integers(s // 4, max(3 * s // 4, s // 4 + 1)) for s in shape)
+        vol[z, y, x] = rng.uniform(80, 200)
+    # smooth with separable gaussian via FFT
+    zz, yy, xx = np.meshgrid(*[np.arange(s) - s // 2 for s in shape], indexing="ij")
+    g = np.exp(-(xx**2 + yy**2 + zz**2) / (2 * sigma**2))
+    g = np.roll(g / g.sum(), [-s // 2 for s in shape], axis=(0, 1, 2))
+    return np.fft.irfftn(np.fft.rfftn(vol) * np.fft.rfftn(g), s=shape).astype(np.float32)
+
+
+def test_checkmatrix():
+    m = identity_tmx()
+    assert checkmatrix(m, 64, 64, 64)
+    m2 = m.copy(); m2[0] = 1.6
+    assert not checkmatrix(m2, 64, 64, 64)
+    m3 = m.copy(); m3[3] = 60
+    assert not checkmatrix(m3, 64, 64, 64)
+
+
+def test_zncc_self_is_one(rng):
+    a = rng.normal(size=(8, 8, 8)).astype(np.float32)
+    assert abs(zncc(a, a) - 1.0) < 1e-5
+    assert zncc(np.zeros((4, 4, 4)), np.zeros((4, 4, 4))) == -2.0
+
+
+def test_phasor_3d_recovers_integer_shift():
+    vol = smooth_blobs((32, 32, 32), n=12, seed=1)
+    shift = (5, -3, 7)  # x, y, z
+    moved = np.roll(vol, (shift[2], shift[1], shift[0]), axis=(0, 1, 2))
+    found = reg3d_phasor(vol, moved)
+    assert tuple(found) == shift
+
+
+def test_phasor_3d_wraparound_disambiguation():
+    # shift beyond size/4 must still resolve via the ZNCC 8-case check
+    vol = smooth_blobs((32, 32, 32), n=12, seed=2)
+    shift = (12, 0, 0)
+    moved = np.zeros_like(vol)
+    moved[:, :, shift[0]:] = vol[:, :, : 32 - shift[0]]
+    found = reg3d_phasor(vol, moved)
+    assert found[0] == shift[0]
+    assert found[1] == 0 and found[2] == 0
+
+
+def test_phasor_2d():
+    img = smooth_blobs((1, 48, 48), n=14, seed=3)[0]
+    moved = np.roll(img, (4, -6), axis=(0, 1))  # y, x
+    found = reg2d_phasor(img, moved)
+    assert tuple(found) == (-6, 4)
+
+
+def test_reg3d_affine_recovers_translation():
+    vol = smooth_blobs((24, 24, 24), n=10, seed=4)
+    true_m = identity_tmx()
+    true_m[3], true_m[7], true_m[11] = 1.7, -1.2, 0.8
+    moved = np.asarray(affine_transform_3d(jnp.asarray(vol), true_m, vol.shape))
+    # registering moved (source) onto vol (target): expect inverse translation
+    reg, tmx, records = reg3d_affine(vol, moved, aff_method=1, ftol=1e-5, it_limit=2000)
+    np.testing.assert_allclose([tmx[3], tmx[7], tmx[11]],
+                               [-1.7, 1.2, -0.8], atol=0.35)
+    assert records[3] > 0.98  # final NCC
+    assert records[3] >= records[1]
+
+
+def test_reg3d_affine_ladder_recovers_small_affine():
+    vol = smooth_blobs((24, 24, 24), n=10, seed=5)
+    true_m = dof_to_matrix([1.0, -0.8, 0.5, 2.0, -1.5, 1.0, 1.02, 0.98, 1.01], 9)
+    moved = np.asarray(affine_transform_3d(jnp.asarray(vol), true_m, vol.shape))
+    reg, tmx, records = reg3d_affine(vol, moved, aff_method=7, ftol=1e-4, it_limit=4000)
+    assert records[3] > 0.95
+    assert checkmatrix(tmx, 24, 24, 24)
+    # applying the found matrix to moved approximates vol
+    assert zncc(reg, vol) > 0.95
+
+
+def test_reg3d_dispatcher_phasor_choice():
+    vol = smooth_blobs((24, 24, 24), n=10, seed=6)
+    moved = np.roll(vol, (2, 0, -3), axis=(0, 1, 2))  # dz=2, dx=-3
+    reg, tmx, records = reg3d(vol, moved, reg_choice=1)
+    assert (tmx[3], tmx[11]) == (-3, 2)
+    assert zncc(reg, vol) > 0.99
+
+
+def test_reg3d_size_harmonization():
+    vol = smooth_blobs((24, 24, 24), n=8, seed=7)
+    small = vol[2:-2, 2:-2, 2:-2]
+    reg, tmx, records = reg3d(vol, small, reg_choice=0, flag_tmx=False)
+    assert reg.shape == vol.shape
+
+
+def test_reg3d_input_matrix_compose():
+    vol = smooth_blobs((24, 24, 24), n=10, seed=8)
+    true_m = identity_tmx()
+    true_m[3] = 2.5
+    moved = np.asarray(affine_transform_3d(jnp.asarray(vol), true_m, vol.shape))
+    near = identity_tmx()
+    near[3] = -2.0  # partial guess toward the -2.5 answer
+    reg, tmx, _ = reg3d(vol, moved, reg_choice=2, aff_method=1, flag_tmx=True,
+                        tmx=near, ftol=1e-5, it_limit=2000)
+    np.testing.assert_allclose(tmx[3], -2.5, atol=0.15)
+
+
+def test_reg_3dgpu_fallback_path():
+    vol = smooth_blobs((24, 24, 24), n=10, seed=9)
+    moved = np.roll(vol, 2, axis=2)
+    reg, tmx, _ = reg_3dgpu(vol, moved, aff_method=1, ftol=1e-5, it_limit=2000)
+    assert checkmatrix(tmx, 24, 24, 24)
+    assert zncc(reg, vol) > 0.97
+
+
+def test_atrans3dgpu_matches_direct():
+    vol = smooth_blobs((16, 16, 16), n=6, seed=10)
+    m = dof_to_matrix([1.0, 0.5, -0.5, 3.0, 0, 0, 1, 1, 1], 6)
+    out = atrans3dgpu(vol, m, (16, 16, 16))
+    direct = np.asarray(affine_transform_3d(jnp.asarray(vol), m, (16, 16, 16)))
+    np.testing.assert_allclose(out, direct, atol=1e-6)
+
+
+def test_reg2d_shiftalign_choice():
+    img = smooth_blobs((1, 40, 40), n=12, seed=11)[0]
+    moved = np.roll(img, (3, -4), axis=(0, 1))
+    reg, tmx, rec = reg2d(img, moved, reg_choice=1)
+    # found translation ~ (-4, 3) in (x, y); grid resolution is coarse
+    assert abs(tmx[2] - (-4)) <= 1.0
+    assert abs(tmx[5] - 3) <= 1.0
+
+
+def test_reg2d_affine_choice():
+    img = smooth_blobs((1, 40, 40), n=12, seed=12)[0]
+    moved = np.roll(img, (0, -2), axis=(0, 1))
+    # start from a translation-informed matrix (as regChoice 4 / the MIP
+    # pipeline does); from identity, Powell can lock onto an equivalent
+    # scale-based optimum on smooth periodic test data
+    init = np.array([1, 0, -1.0, 0, 1, 0], np.float32)
+    reg, tmx, rec = reg2d(img, moved, reg_choice=2, flag_tmx=True, tmx=init,
+                          ftol=1e-5, it_limit=3000)
+    # on periodic test data an affine mixing slight scale with translation
+    # is a genuinely better optimum than the pure roll shift, so assert
+    # registration quality, not specific matrix entries
+    assert rec[3] > 0.97
+    interior = np.s_[5:-5, 5:-5]
+    a = reg[interior] - reg[interior].mean()
+    b = img[interior] - img[interior].mean()
+    ncc = float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
+    assert ncc > 0.97
