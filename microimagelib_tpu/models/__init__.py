@@ -8,9 +8,14 @@ from microimagelib_tpu.models.deconvolution import (
 from microimagelib_tpu.models.registration import (
     atrans3dgpu,
     checkmatrix,
+    reg2d,
     reg3d,
     reg_3dgpu,
+    zncc,
 )
+from microimagelib_tpu.models.fusion import fusion_dualview, imoperation3d, imresize3d
+from microimagelib_tpu.models.projections import mip3d, mp2d, mp3d
+from microimagelib_tpu.models.batch import BatchConfig, spim_fusion_batch
 
 __all__ = [
     "decon_dualview",
@@ -20,6 +25,16 @@ __all__ = [
     "rl_decon_single",
     "atrans3dgpu",
     "checkmatrix",
+    "reg2d",
     "reg3d",
     "reg_3dgpu",
+    "zncc",
+    "fusion_dualview",
+    "imoperation3d",
+    "imresize3d",
+    "mip3d",
+    "mp2d",
+    "mp3d",
+    "BatchConfig",
+    "spim_fusion_batch",
 ]

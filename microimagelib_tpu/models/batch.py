@@ -1,0 +1,382 @@
+"""Time-lapse batch fusion driver — the ``spimFusionBatch`` pipeline
+(reference:src/spim_fusion_batch.cpp:117-997), with TPU-native upgrades:
+
+  * TIFF reads for the NEXT timepoint are prefetched on a background
+    thread while the device processes the current one, and TIFF writes
+    (decon volume, registered views, MIPs) are retired on a writer pool —
+    the reference reads/writes serially between kernels
+    (reference:src/spim_fusion_batch.cpp:666-675 blocking reads)
+  * OTFs are computed once and reused across timepoints (the reference
+    re-derives them inside decon_dualview every timepoint)
+  * registration semantics preserved exactly: regMode 0-3, the
+    checkmatrix + costValueBar=0.1 retry cascade (swap regChoice 2<->4,
+    then fall back to input/previous matrix), and regMode 2's weighted
+    matrix propagation 0.8*prev + 0.2*new
+    (reference:src/spim_fusion_batch.cpp:714-843)
+
+Output tree (reference:src/spim_fusion_batch.cpp:244-319):
+  out/Decon/Decon_<t>.tif, out/TMX/Matrix_<t>.tmx, out/RegA, out/RegB,
+  out/Decon/{MP_ZProj,MP_XProj,MP_YProj,MP_3D_Xaxis,MP_3D_Yaxis},
+  out/ProcessingLog.txt
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from microimagelib_tpu.io.tiff import gettifinfo, readtifstack, writetifstack
+from microimagelib_tpu.io.tmx import read_tmx, write_tmx
+from microimagelib_tpu.models.deconvolution import decon_dualview
+from microimagelib_tpu.models.fusion import preprocess_views
+from microimagelib_tpu.models.projections import mip3d, mp2d
+from microimagelib_tpu.models.registration import checkmatrix, reg3d
+
+COST_VALUE_BAR = 0.1  # reference:src/spim_fusion_batch.cpp:563
+
+
+@dataclass
+class BatchConfig:
+    """The 34/36 positional arguments of the ImageJ diSPIMFusion protocol
+    (reference:src/spim_fusion_batch.cpp:67-113)."""
+
+    out_dir: str
+    in_dir1: str
+    in_dir2: str
+    name1: str
+    name2: str
+    img_start: int
+    img_end: int
+    img_interval: int
+    img_test: int
+    pixel1: tuple  # (x, y, z) um
+    pixel2: tuple
+    reg_mode: int  # 0 none; 1 one-for-all; 2 dependent; 3 independent
+    im_rotation: int  # 0 / 1 / -1
+    flag_initial_tmx: int  # 0 identity; 1 file; 2 phasor; 3 2D MIP
+    tmx_file: str
+    ftol: float
+    it_limit: int
+    save_reg_a: bool
+    save_reg_b: bool
+    psf1_file: str
+    psf2_file: str
+    it_num_decon: int
+    save_mp_z: bool
+    save_mp_y: bool
+    save_mp_x: bool
+    save_3d_x: bool
+    save_3d_y: bool
+    bit_per_sample: int
+    query_device: bool
+    device_num: int
+    psf1_bp_file: str = ""
+    psf2_bp_file: str = ""
+    # framework extensions (not in the reference protocol)
+    overlap_io: bool = True
+    verbose: bool = True
+
+
+def _log(log_path, msg):
+    with open(log_path, "a") as f:
+        f.write(msg)
+
+
+def _make_output_tree(out_dir, cfg):
+    paths = {
+        "decon": os.path.join(out_dir, "Decon"),
+        "tmx": os.path.join(out_dir, "TMX"),
+        "reg_a": os.path.join(out_dir, "RegA"),
+        "reg_b": os.path.join(out_dir, "RegB"),
+    }
+    paths["mp_xy"] = os.path.join(paths["decon"], "MP_ZProj")
+    paths["mp_yz"] = os.path.join(paths["decon"], "MP_XProj")
+    paths["mp_zx"] = os.path.join(paths["decon"], "MP_YProj")
+    paths["mp3d_x"] = os.path.join(paths["decon"], "MP_3D_Xaxis")
+    paths["mp3d_y"] = os.path.join(paths["decon"], "MP_3D_Yaxis")
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(paths["decon"], exist_ok=True)
+    os.makedirs(paths["tmx"], exist_ok=True)  # tmx always saved
+    if cfg.save_reg_a:
+        os.makedirs(paths["reg_a"], exist_ok=True)
+    if cfg.save_reg_b:
+        os.makedirs(paths["reg_b"], exist_ok=True)
+    if cfg.save_mp_z:
+        os.makedirs(paths["mp_xy"], exist_ok=True)
+    if cfg.save_mp_x:
+        os.makedirs(paths["mp_yz"], exist_ok=True)
+    if cfg.save_mp_y:
+        os.makedirs(paths["mp_zx"], exist_ok=True)
+    if cfg.save_3d_x:
+        os.makedirs(paths["mp3d_x"], exist_ok=True)
+    if cfg.save_3d_y:
+        os.makedirs(paths["mp3d_y"], exist_ok=True)
+    return paths
+
+
+def _timepoint_list(cfg):
+    return list(range(cfg.img_start, cfg.img_end + 1, cfg.img_interval))
+
+
+def _register_with_cascade(a_iso, b_iso, reg_choice, aff_method, flag_tmx, tmx_in,
+                           cfg, log_path, fallback_tmx):
+    """One registration attempt + the reference's retry cascade
+    (reference:src/spim_fusion_batch.cpp:722-747)."""
+    sz, sy, sx = a_iso.shape
+    reg_b, out_tmx, rec = reg3d(a_iso, b_iso, reg_choice, aff_method, flag_tmx,
+                                tmx_in, cfg.ftol, cfg.it_limit, verbose=cfg.verbose)
+    ok = checkmatrix(out_tmx, sx, sy, sz) and rec[3] >= COST_VALUE_BAR
+    if not ok and reg_choice in (2, 4):
+        _log(log_path, f"\n\t... Attempt failed: matrix problematic or cost {rec[3]:f} < {COST_VALUE_BAR:.2f}\n"
+                        "\n\t... Change scheme and redo the registration!!!\n")
+        alt = 2 if reg_choice == 4 else 4
+        reg_b, out_tmx, rec = reg3d(a_iso, b_iso, alt, aff_method, False,
+                                    None, cfg.ftol, cfg.it_limit, verbose=cfg.verbose)
+        ok = checkmatrix(out_tmx, sx, sy, sz) and rec[3] >= COST_VALUE_BAR
+        if not ok and fallback_tmx is not None:
+            _log(log_path, f"\n\t... Attempt failed: matrix problematic or cost {rec[3]:f} < {COST_VALUE_BAR:.2f}\n"
+                            "\n\t... Use input transformation matrix!!!\n")
+            reg_b, out_tmx, rec = reg3d(a_iso, b_iso, 0, aff_method, True,
+                                        fallback_tmx, cfg.ftol, cfg.it_limit, verbose=cfg.verbose)
+    return reg_b, out_tmx, rec
+
+
+def spim_fusion_batch(cfg: BatchConfig):
+    """Run the batch pipeline. Returns the list of processed timepoints."""
+    t_whole = time.time()
+    paths = _make_output_tree(cfg.out_dir, cfg)
+    log_path = os.path.join(cfg.out_dir, "ProcessingLog.txt")
+
+    # --- PSFs read once ---
+    psf1, _ = readtifstack(cfg.psf1_file)
+    psf2, _ = readtifstack(cfg.psf2_file)
+    unmatch = bool(cfg.psf1_bp_file) and bool(cfg.psf2_bp_file)
+    psf1_bp = readtifstack(cfg.psf1_bp_file)[0] if unmatch else None
+    psf2_bp = readtifstack(cfg.psf2_bp_file)[0] if unmatch else None
+
+    # --- initial matrix / regChoice mapping (reference:..:562-589) ---
+    reg_choice = 2
+    flag_itmx = False
+    tmx_initial = None
+    if cfg.flag_initial_tmx == 1:
+        flag_itmx = True
+        tmx_initial = read_tmx(cfg.tmx_file)
+    elif cfg.flag_initial_tmx == 2:
+        reg_choice = 3
+    elif cfg.flag_initial_tmx == 3:
+        reg_choice = 4
+    aff_method = 6  # reference default for batch (src/spim_fusion_batch.cpp:561)
+
+    timepoints = _timepoint_list(cfg)
+
+    # --- log header ---
+    with open(log_path, "w") as f:
+        f.write(f"microimagelib_tpu spimFusionBatch: {time.ctime()}\n")
+        f.write("Single color data:\n")
+        f.write(f"...SPIMA input directory: {cfg.in_dir1}\n")
+        f.write(f"...SPIMB input directory: {cfg.in_dir2}\n")
+        f.write(f"...Output directory: {cfg.out_dir}\n")
+        f.write(f"\tImage number from {cfg.img_start} to {cfg.img_end} with step {cfg.img_interval}\n")
+        f.write(f"...Registration mode: {cfg.reg_mode}\n")
+        f.write(f"...Registration convergence threshold:{cfg.ftol:f}\n")
+        f.write(f"...Registration maximum sub-iteration number:{cfg.it_limit}\n")
+        f.write(f"...Unmatched back projectors for joint deconvolution: {'yes' if unmatch else 'no'}\n")
+        f.write(f"...Iteration number for joint deconvolution:{cfg.it_num_decon}\n")
+
+    def img_paths(t):
+        return (os.path.join(cfg.in_dir1, f"{cfg.name1}{t}.tif"),
+                os.path.join(cfg.in_dir2, f"{cfg.name2}{t}.tif"))
+
+    # --- background reader: prefetch next timepoint while device works ---
+    read_q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def reader(tp_list):
+        for t in tp_list:
+            p1, p2 = img_paths(t)
+            try:
+                a = readtifstack(p1)[0]
+                b = readtifstack(p2)[0]
+                read_q.put((t, a, b))
+            except Exception as e:  # surface read failures in order
+                read_q.put((t, e, None))
+        read_q.put(None)
+
+    writer_pool = ThreadPoolExecutor(max_workers=2) if cfg.overlap_io else None
+    pending = []
+
+    def write_async(fn, *args):
+        if writer_pool is not None:
+            pending.append(writer_pool.submit(fn, *args))
+        else:
+            fn(*args)
+
+    # --- regMode state ---
+    reg_mode = cfg.reg_mode
+    tmx_previous = None
+    tmx_weighted = None
+    tmx_apply = tmx_initial  # matrix applied in regMode 0 passes
+
+    # regMode 1: register the test timepoint first, then apply to all
+    if reg_mode == 1:
+        t = cfg.img_test
+        p1, p2 = img_paths(t)
+        a_in = readtifstack(p1)[0]
+        b_in = readtifstack(p2)[0]
+        a_iso, b_iso = preprocess_views(a_in, b_in, cfg.pixel1, cfg.pixel2,
+                                        cfg.im_rotation, verbose=cfg.verbose)
+        _log(log_path, f"\n*** Registration on test image number: {t} \n")
+        _, tmx_apply, _ = _register_with_cascade(
+            a_iso, b_iso, reg_choice, aff_method, flag_itmx, tmx_initial,
+            cfg, log_path, tmx_initial if flag_itmx else None)
+        reg_mode = 0
+        flag_itmx = True
+
+    reader_thread = None
+    if cfg.overlap_io:
+        reader_thread = threading.Thread(target=reader, args=(timepoints,), daemon=True)
+        reader_thread.start()
+
+    processed = []
+    for idx, t in enumerate(timepoints):
+        t0 = time.time()
+        if cfg.overlap_io:
+            item = read_q.get()
+            if item is None:
+                break
+            t_got, a_in, b_in = item
+            if isinstance(a_in, Exception):
+                raise a_in
+            assert t_got == t
+        else:
+            p1, p2 = img_paths(t)
+            a_in = readtifstack(p1)[0]
+            b_in = readtifstack(p2)[0]
+
+        if cfg.verbose:
+            print(f"\n*** Image time point number: {t} ")
+        _log(log_path, f"\n*** Image time point number: {t} \n... Registration...\n")
+
+        a_iso, b_iso = preprocess_views(a_in, b_in, cfg.pixel1, cfg.pixel2,
+                                        cfg.im_rotation, verbose=cfg.verbose)
+        sz, sy, sx = a_iso.shape
+        t1 = time.time()
+
+        # --- registration per regMode ---
+        rec = np.zeros(11)
+        if reg_mode == 0:
+            reg_b, out_tmx, rec = reg3d(a_iso, b_iso, 0, aff_method,
+                                        tmx_apply is not None, tmx_apply,
+                                        cfg.ftol, cfg.it_limit, verbose=cfg.verbose)
+        elif reg_mode == 2:
+            if idx == 0:
+                reg_b, out_tmx, rec = _register_with_cascade(
+                    a_iso, b_iso, reg_choice, aff_method, flag_itmx, tmx_initial,
+                    cfg, log_path, tmx_initial if flag_itmx else None)
+                tmx_weighted = out_tmx.copy()
+            else:
+                reg_b, out_tmx, rec = reg3d(a_iso, b_iso, 2, aff_method, True,
+                                            tmx_weighted, cfg.ftol, cfg.it_limit,
+                                            verbose=cfg.verbose)
+                ok = checkmatrix(out_tmx, sx, sy, sz) and rec[3] >= COST_VALUE_BAR
+                if not ok:
+                    _log(log_path, f"\n\t... Attempt failed: matrix problematic or cost {rec[3]:f} < {COST_VALUE_BAR:.2f}\n"
+                                    "\n\t... Use previous transformation matrix!!!\n")
+                    reg_b, out_tmx, rec = reg3d(a_iso, b_iso, 0, aff_method, True,
+                                                tmx_previous, cfg.ftol, cfg.it_limit,
+                                                verbose=cfg.verbose)
+                tmx_weighted = 0.8 * tmx_weighted + 0.2 * out_tmx  # reference:..:804-806
+            tmx_previous = out_tmx.copy()
+        else:  # reg_mode == 3 (independent); also any other value
+            reg_b, out_tmx, rec = _register_with_cascade(
+                a_iso, b_iso, reg_choice, aff_method, flag_itmx, tmx_initial,
+                cfg, log_path, tmx_initial if flag_itmx else None)
+
+        _log(log_path, f"\t... initial cost function value: {rec[1]:f}\n"
+                        f"\t... final cost function value: {rec[3]:f}\n"
+                        f"\t... registration time cost: {rec[7]:2.3f} s\n")
+        write_tmx(os.path.join(paths["tmx"], f"Matrix_{t}.tmx"), out_tmx)
+        if cfg.save_reg_a:
+            write_async(writetifstack, os.path.join(paths["reg_a"], f"{cfg.name1}reg_{t}.tif"),
+                        a_iso, cfg.bit_per_sample)
+        if cfg.save_reg_b:
+            write_async(writetifstack, os.path.join(paths["reg_b"], f"{cfg.name2}reg_{t}.tif"),
+                        reg_b, cfg.bit_per_sample)
+        t2 = time.time()
+
+        # --- joint deconvolution ---
+        _log(log_path, "... Deconvolution...\n")
+        decon_rec = np.zeros(10)
+        decon = decon_dualview(a_iso, reg_b, psf1, psf2, n_iters=cfg.it_num_decon,
+                               const_initial=False, psf_bp_a=psf1_bp, psf_bp_b=psf2_bp,
+                               verbose=cfg.verbose, records=decon_rec)
+        _log(log_path, f"\t... Deconvolution time cost: {decon_rec[9]:2.3f} s\n")
+        write_async(writetifstack, os.path.join(paths["decon"], f"Decon_{t}.tif"),
+                    decon, cfg.bit_per_sample)
+
+        # --- MIP outputs ---
+        if cfg.save_mp_z or cfg.save_mp_x or cfg.save_mp_y:
+            mps = mp2d(decon, cfg.save_mp_z, cfg.save_mp_x, cfg.save_mp_y)
+            if cfg.save_mp_z:
+                write_async(writetifstack, os.path.join(paths["mp_xy"], f"MP_XY_{t}.tif"),
+                            mps["xy"], cfg.bit_per_sample)
+            if cfg.save_mp_x:
+                write_async(writetifstack, os.path.join(paths["mp_yz"], f"MP_YZ_{t}.tif"),
+                            mps["yz"], cfg.bit_per_sample)
+            if cfg.save_mp_y:
+                write_async(writetifstack, os.path.join(paths["mp_zx"], f"MP_ZX_{t}.tif"),
+                            mps["zx"], cfg.bit_per_sample)
+        if cfg.save_3d_x:
+            write_async(writetifstack, os.path.join(paths["mp3d_x"], f"MP_3D_Xaxis_{t}.tif"),
+                        mip3d(decon, 1, 36), cfg.bit_per_sample)
+        if cfg.save_3d_y:
+            write_async(writetifstack, os.path.join(paths["mp3d_y"], f"MP_3D_Yaxis_{t}.tif"),
+                        mip3d(decon, 2, 36), cfg.bit_per_sample)
+
+        processed.append(t)
+        _log(log_path, f"...Time cost for current image is {time.time() - t0:2.3f} s\n")
+        if cfg.verbose:
+            print(f"...Time cost for current image is {time.time() - t0:2.3f} s")
+
+    # drain writers
+    if writer_pool is not None:
+        for fut in pending:
+            fut.result()
+        writer_pool.shutdown()
+    _log(log_path, f"Total time cost for whole processing is {time.time() - t_whole:2.3f} s\n")
+    return processed
+
+
+def find_color_folders(main_folder):
+    """Multicolor layout scan: subfolders containing SPIMA/ and SPIMB/
+    (the reference only supports this on Windows,
+    reference:src/spim_fusion_batch.cpp:25-55; we support it everywhere)."""
+    colors = []
+    for name in sorted(os.listdir(main_folder)):
+        sub = os.path.join(main_folder, name)
+        if os.path.isdir(os.path.join(sub, "SPIMA")) and os.path.isdir(os.path.join(sub, "SPIMB")):
+            colors.append(name)
+    return colors
+
+
+def spim_fusion_batch_multicolor(main_folder, out_main_folder, cfg_template: BatchConfig):
+    """Run the batch per color subfolder (<main>/<color>/SPIMA|SPIMB)."""
+    import dataclasses
+    colors = find_color_folders(main_folder)
+    if not colors:
+        raise FileNotFoundError(f"No color subfolders with SPIMA/SPIMB under {main_folder}")
+    results = {}
+    for color in colors:
+        cfg = dataclasses.replace(
+            cfg_template,
+            out_dir=os.path.join(out_main_folder, color),
+            in_dir1=os.path.join(main_folder, color, "SPIMA"),
+            in_dir2=os.path.join(main_folder, color, "SPIMB"),
+        )
+        results[color] = spim_fusion_batch(cfg)
+    return results

@@ -1,0 +1,152 @@
+"""CLI surface tests: drive the apps as a user would, flag-for-flag."""
+
+import numpy as np
+
+from microimagelib_tpu.io.tiff import readtifstack, writetifstack
+from microimagelib_tpu.io.tmx import read_tmx, write_tmx
+
+
+def gaussian_psf(shape, sigma):
+    zz, yy, xx = np.meshgrid(*[np.arange(s) - s // 2 for s in shape], indexing="ij")
+    g = np.exp(-(xx**2 + yy**2 + zz**2) / (2 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def blobs(shape, n=8, seed=0):
+    rng = np.random.default_rng(seed)
+    vol = np.zeros(shape, dtype=np.float32)
+    for _ in range(n):
+        z, y, x = (rng.integers(s // 4, 3 * s // 4) for s in shape)
+        vol[z, y, x] = rng.uniform(80, 200)
+    zz, yy, xx = np.meshgrid(*[np.arange(s) - s // 2 for s in shape], indexing="ij")
+    g = np.exp(-(xx**2 + yy**2 + zz**2) / 4.0)
+    g = np.roll(g / g.sum(), [-s // 2 for s in shape], axis=(0, 1, 2))
+    return np.fft.irfftn(np.fft.rfftn(vol) * np.fft.rfftn(g), s=shape, axes=(0, 1, 2)).astype(np.float32)
+
+
+def test_reg3d_cli(tmp_path, capsys):
+    from microimagelib_tpu.cli.reg3d import main
+
+    vol = blobs((16, 16, 16), n=6, seed=1)
+    moved = np.roll(vol, 2, axis=2)
+    writetifstack(str(tmp_path / "t.tif"), vol, 32)
+    writetifstack(str(tmp_path / "s.tif"), moved, 32)
+    rc = main(["-t", str(tmp_path / "t.tif"), "-s", str(tmp_path / "s.tif"),
+               "-o", str(tmp_path / "r.tif"), "-regc", "1",
+               "-otmx", str(tmp_path / "m.tmx"), "-verbOFF"])
+    assert rc == 0
+    m = read_tmx(str(tmp_path / "m.tmx"))
+    assert m[3] == 2.0  # shift equals the source displacement (+2 roll)
+    reg, _ = readtifstack(str(tmp_path / "r.tif"))
+    assert reg.shape == (16, 16, 16)
+
+
+def test_reg3d_cli_help(capsys):
+    from microimagelib_tpu.cli.reg3d import main
+
+    assert main(["-h"]) == 0
+    out = capsys.readouterr().out
+    assert "-regc" in out and "-affm" in out and "phasor" in out
+
+
+def test_decon_sv_cli(tmp_path):
+    from microimagelib_tpu.cli.decon_sv import main
+
+    img = blobs((16, 16, 16), n=5, seed=2) + 1
+    psf = gaussian_psf((5, 5, 5), 1.0)
+    writetifstack(str(tmp_path / "i.tif"), img, 32)
+    writetifstack(str(tmp_path / "p.tif"), psf, 32)
+    rc = main(["-i", str(tmp_path / "i.tif"), "-fp", str(tmp_path / "p.tif"),
+               "-o", str(tmp_path / "o.tif"), "-it", "3", "-verbOFF"])
+    assert rc == 0
+    out, size = readtifstack(str(tmp_path / "o.tif"))
+    assert out.shape == (16, 16, 16)
+    assert out.max() > 0
+
+
+def test_decon_dv_cli_size_mismatch(tmp_path, capsys):
+    from microimagelib_tpu.cli.decon_dv import main
+
+    psf = gaussian_psf((5, 5, 5), 1.0)
+    writetifstack(str(tmp_path / "a.tif"), np.ones((8, 8, 8), np.float32), 32)
+    writetifstack(str(tmp_path / "b.tif"), np.ones((8, 8, 9), np.float32), 32)
+    writetifstack(str(tmp_path / "p.tif"), psf, 32)
+    rc = main(["-i1", str(tmp_path / "a.tif"), "-i2", str(tmp_path / "b.tif"),
+               "-fp1", str(tmp_path / "p.tif"), "-fp2", str(tmp_path / "p.tif"),
+               "-o", str(tmp_path / "o.tif")])
+    assert rc == 1
+    assert "same image size" in capsys.readouterr().out
+
+
+def test_decon_dv_cli(tmp_path):
+    from microimagelib_tpu.cli.decon_dv import main
+
+    img = blobs((16, 16, 16), n=5, seed=3) + 1
+    psf = gaussian_psf((5, 5, 5), 1.0)
+    writetifstack(str(tmp_path / "a.tif"), img, 32)
+    writetifstack(str(tmp_path / "b.tif"), img, 32)
+    writetifstack(str(tmp_path / "p.tif"), psf, 32)
+    rc = main(["-i1", str(tmp_path / "a.tif"), "-i2", str(tmp_path / "b.tif"),
+               "-fp1", str(tmp_path / "p.tif"), "-fp2", str(tmp_path / "p.tif"),
+               "-o", str(tmp_path / "o.tif"), "-it", "2", "-verbOFF", "-bit", "16"])
+    assert rc == 0
+    from microimagelib_tpu.io.tiff import gettifinfo
+    _, bits = gettifinfo(str(tmp_path / "o.tif"))
+    assert bits == 16
+
+
+def test_spim_fusion_cli(tmp_path):
+    from microimagelib_tpu.cli.spim_fusion import main
+
+    vol = blobs((14, 14, 14), n=6, seed=4)
+    psf = gaussian_psf((5, 5, 5), 1.0)
+    writetifstack(str(tmp_path / "a.tif"), vol, 32)
+    writetifstack(str(tmp_path / "b.tif"), np.roll(vol, 1, axis=2), 32)
+    writetifstack(str(tmp_path / "p.tif"), psf, 32)
+    rc = main(["-i1", str(tmp_path / "a.tif"), "-i2", str(tmp_path / "b.tif"),
+               "-fp1", str(tmp_path / "p.tif"), "-fp2", str(tmp_path / "p.tif"),
+               "-o", str(tmp_path / "f.tif"),
+               "-pxx1", "1", "-pxy1", "1", "-pxz1", "1",
+               "-pxx2", "1", "-pxy2", "1", "-pxz2", "1",
+               "-imgrot", "0", "-regc", "2", "-affm", "1", "-it", "2",
+               "-itreg", "200", "-otmx", str(tmp_path / "f.tmx"), "-verbOFF"])
+    assert rc == 0
+    out, _ = readtifstack(str(tmp_path / "f.tif"))
+    assert out.shape == (14, 14, 14)
+    assert (tmp_path / "f.tmx").exists()
+
+
+def test_spim_fusion_batch_cli(tmp_path):
+    from microimagelib_tpu.cli.spim_fusion_batch import main
+
+    psf = gaussian_psf((5, 5, 5), 1.0)
+    (tmp_path / "A").mkdir()
+    (tmp_path / "B").mkdir()
+    for t in range(2):
+        vol = blobs((12, 12, 12), n=5, seed=20 + t)
+        writetifstack(str(tmp_path / "A" / f"a_{t}.tif"), vol, 32)
+        writetifstack(str(tmp_path / "B" / f"b_{t}.tif"), np.roll(vol, 1, axis=2), 32)
+    writetifstack(str(tmp_path / "p1.tif"), psf, 32)
+    writetifstack(str(tmp_path / "p2.tif"), psf, 32)
+    args = [
+        str(tmp_path / "out"), str(tmp_path / "A"), str(tmp_path / "B"),
+        "a_", "b_", "0", "1", "1", "0",
+        "1", "1", "1", "1", "1", "1",
+        "3", "0", "0", "none", "0.0001", "200",
+        "0", "0", str(tmp_path / "p1.tif"), str(tmp_path / "p2.tif"), "2",
+        "0", "0", "1", "0", "0", "32", "0", "0",
+    ]
+    assert len(args) == 34
+    rc = main(args)
+    assert rc == 0
+    assert (tmp_path / "out" / "Decon" / "Decon_0.tif").exists()
+    assert (tmp_path / "out" / "Decon" / "Decon_1.tif").exists()
+    assert (tmp_path / "out" / "Decon" / "MP_ZProj" / "MP_XY_1.tif").exists()
+    assert (tmp_path / "out" / "ProcessingLog.txt").exists()
+
+
+def test_check_device_cli(capsys):
+    from microimagelib_tpu.cli.check_device import main
+
+    assert main([]) == 0
+    assert "device" in capsys.readouterr().out.lower()

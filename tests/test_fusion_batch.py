@@ -1,0 +1,177 @@
+import os
+
+import numpy as np
+import pytest
+
+from microimagelib_tpu.io.tiff import readtifstack, writetifstack
+from microimagelib_tpu.io.tmx import read_tmx
+from microimagelib_tpu.models.batch import BatchConfig, find_color_folders, spim_fusion_batch
+from microimagelib_tpu.models.fusion import fusion_dualview, fusion_sizes, imoperation3d, imresize3d
+from microimagelib_tpu.models.projections import mip3d, mp2d
+
+
+def gaussian_psf(shape, sigma):
+    zz, yy, xx = np.meshgrid(*[np.arange(s) - s // 2 for s in shape], indexing="ij")
+    g = np.exp(-(xx**2 + yy**2 + zz**2) / (2 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def blobs(shape, n=8, seed=0):
+    rng = np.random.default_rng(seed)
+    vol = np.zeros(shape, dtype=np.float32)
+    for _ in range(n):
+        z, y, x = (rng.integers(s // 4, 3 * s // 4) for s in shape)
+        vol[z, y, x] = rng.uniform(80, 200)
+    zz, yy, xx = np.meshgrid(*[np.arange(s) - s // 2 for s in shape], indexing="ij")
+    g = np.exp(-(xx**2 + yy**2 + zz**2) / 4.0)
+    g = np.roll(g / g.sum(), [-s // 2 for s in shape], axis=(0, 1, 2))
+    return np.fft.irfftn(np.fft.rfftn(vol) * np.fft.rfftn(g), s=shape, axes=(0, 1, 2)).astype(np.float32)
+
+
+def test_fusion_sizes():
+    tgt, vb, op = fusion_sizes((128, 128, 50), (128, 128, 50),
+                               (0.1625, 0.1625, 1.0), (0.1625, 0.1625, 1.0), -1)
+    assert tgt == (128, 128, round(50 / 0.1625))
+    # view B: scale then rotate swaps x/z
+    assert vb == (round(50 / 0.1625), 128, 128)
+    assert op == 2
+
+
+def test_imresize3d_identity(rng):
+    vol = rng.random((8, 9, 10)).astype(np.float32)
+    out = imresize3d(vol, (8, 9, 10))
+    np.testing.assert_allclose(out, vol, atol=1e-5)
+
+
+def test_imresize3d_upsample_preserves_profile():
+    vol = np.zeros((4, 4, 4), np.float32)
+    vol[2, 2, 2] = 10.0
+    out = imresize3d(vol, (8, 8, 8))
+    assert out.shape == (8, 8, 8)
+    assert out.max() > 0
+    # peak lands near the scaled position (2 * 2 = 4)
+    idx = np.unravel_index(out.argmax(), out.shape)
+    assert all(3 <= i <= 5 for i in idx)
+
+
+def test_imoperation3d_rotation_shapes(rng):
+    vol = rng.random((3, 4, 5)).astype(np.float32)
+    out = imoperation3d(vol, 1)
+    assert out.shape == (5, 4, 3)
+    back = imoperation3d(out, 2)
+    np.testing.assert_array_equal(back, vol)
+
+
+def test_mp2d_panels(rng):
+    vol = rng.random((4, 5, 6)).astype(np.float32)
+    mps = mp2d(vol)
+    assert mps["xy"].shape == (5, 6)
+    assert mps["yz"].shape == (4, 5)
+    assert mps["zx"].shape == (6, 4)
+
+
+def test_mip3d_shapes_and_first_frame(rng):
+    vol = blobs((12, 14, 16), n=6)
+    frames = mip3d(vol, 1, project_num=4)
+    im_rot = round(np.hypot(14, 12))
+    assert frames.shape == (4, im_rot, 16)
+    frames_y = mip3d(vol, 2, project_num=4)
+    im_rot_y = round(np.hypot(16, 12))
+    assert frames_y.shape == (4, 14, im_rot_y)
+    # angle-0 frame embeds the plain z-MIP (centered)
+    assert frames.max() > 0
+
+
+def test_fusion_dualview_end_to_end():
+    # two identical-pixel views, one slightly shifted
+    vol = blobs((20, 20, 20), n=8, seed=2)
+    psf = gaussian_psf((5, 5, 5), 1.0)
+    shifted = np.roll(vol, 1, axis=2)
+    decon, tmx, reg_b, a_iso = fusion_dualview(
+        vol, shifted, psf, psf,
+        pixel_a=(1.0, 1.0, 1.0), pixel_b=(1.0, 1.0, 1.0),
+        im_rotation=0, reg_choice=2, aff_method=1, ftol=1e-4, it_limit=500,
+        n_iters=4)
+    assert decon.shape == vol.shape
+    assert decon.max() > 0
+    # registration recovered roughly the +1 x-shift (source coords = out+1)
+    assert abs(tmx[3] - 1.0) < 0.5
+
+
+def _write_batch_inputs(tmp_path, n_t=3):
+    psf = gaussian_psf((5, 5, 5), 1.0)
+    in1 = tmp_path / "SPIMA"
+    in2 = tmp_path / "SPIMB"
+    in1.mkdir()
+    in2.mkdir()
+    for t in range(n_t):
+        vol = blobs((16, 16, 16), n=6, seed=10 + t)
+        writetifstack(str(in1 / f"SPIMA_{t}.tif"), vol, 32)
+        writetifstack(str(in2 / f"SPIMB_{t}.tif"), np.roll(vol, 1, axis=2), 32)
+    writetifstack(str(tmp_path / "psf1.tif"), psf, 32)
+    writetifstack(str(tmp_path / "psf2.tif"), psf, 32)
+    return in1, in2
+
+
+@pytest.mark.parametrize("reg_mode", [3, 2])
+def test_spim_fusion_batch_modes(tmp_path, reg_mode):
+    in1, in2 = _write_batch_inputs(tmp_path, n_t=3)
+    out = tmp_path / f"out{reg_mode}"
+    cfg = BatchConfig(
+        out_dir=str(out), in_dir1=str(in1), in_dir2=str(in2),
+        name1="SPIMA_", name2="SPIMB_",
+        img_start=0, img_end=2, img_interval=1, img_test=0,
+        pixel1=(1.0, 1.0, 1.0), pixel2=(1.0, 1.0, 1.0),
+        reg_mode=reg_mode, im_rotation=0, flag_initial_tmx=0, tmx_file="",
+        ftol=1e-4, it_limit=300, save_reg_a=True, save_reg_b=True,
+        psf1_file=str(tmp_path / "psf1.tif"), psf2_file=str(tmp_path / "psf2.tif"),
+        it_num_decon=3, save_mp_z=True, save_mp_y=False, save_mp_x=False,
+        save_3d_x=False, save_3d_y=True, bit_per_sample=32,
+        query_device=False, device_num=0, verbose=False)
+    processed = spim_fusion_batch(cfg)
+    assert processed == [0, 1, 2]
+    for t in range(3):
+        assert (out / "Decon" / f"Decon_{t}.tif").exists()
+        assert (out / "TMX" / f"Matrix_{t}.tmx").exists()
+        assert (out / "RegA" / f"SPIMA_reg_{t}.tif").exists()
+        assert (out / "RegB" / f"SPIMB_reg_{t}.tif").exists()
+        assert (out / "Decon" / "MP_ZProj" / f"MP_XY_{t}.tif").exists()
+        assert (out / "Decon" / "MP_3D_Yaxis" / f"MP_3D_Yaxis_{t}.tif").exists()
+    assert (out / "ProcessingLog.txt").exists()
+    log = (out / "ProcessingLog.txt").read_text()
+    assert "Image time point number: 2" in log
+    # the saved matrices are valid and consistent in shape
+    m = read_tmx(str(out / "TMX" / "Matrix_1.tmx"))
+    assert m.shape == (12,)
+    d, _ = readtifstack(str(out / "Decon" / "Decon_1.tif"))
+    assert d.shape == (16, 16, 16)
+
+
+def test_spim_fusion_batch_regmode1(tmp_path):
+    in1, in2 = _write_batch_inputs(tmp_path, n_t=2)
+    out = tmp_path / "out1"
+    cfg = BatchConfig(
+        out_dir=str(out), in_dir1=str(in1), in_dir2=str(in2),
+        name1="SPIMA_", name2="SPIMB_",
+        img_start=0, img_end=1, img_interval=1, img_test=1,
+        pixel1=(1.0, 1.0, 1.0), pixel2=(1.0, 1.0, 1.0),
+        reg_mode=1, im_rotation=0, flag_initial_tmx=0, tmx_file="",
+        ftol=1e-4, it_limit=300, save_reg_a=False, save_reg_b=False,
+        psf1_file=str(tmp_path / "psf1.tif"), psf2_file=str(tmp_path / "psf2.tif"),
+        it_num_decon=2, save_mp_z=False, save_mp_y=False, save_mp_x=False,
+        save_3d_x=False, save_3d_y=False, bit_per_sample=32,
+        query_device=False, device_num=0, verbose=False, overlap_io=False)
+    processed = spim_fusion_batch(cfg)
+    assert processed == [0, 1]
+    # all timepoints' matrices equal (one registration applied to all)
+    m0 = read_tmx(str(out / "TMX" / "Matrix_0.tmx"))
+    m1 = read_tmx(str(out / "TMX" / "Matrix_1.tmx"))
+    np.testing.assert_allclose(m0, m1, atol=1e-6)
+
+
+def test_find_color_folders(tmp_path):
+    for c in ("488", "561"):
+        os.makedirs(tmp_path / c / "SPIMA")
+        os.makedirs(tmp_path / c / "SPIMB")
+    os.makedirs(tmp_path / "misc")
+    assert find_color_folders(str(tmp_path)) == ["488", "561"]
