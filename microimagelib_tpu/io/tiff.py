@@ -50,6 +50,18 @@ class TiffError(RuntimeError):
     pass
 
 
+# Native fast path: parallel page decode/encode with fused u16<->f32
+# conversion (microimagelib_tpu/native/miltiff.cpp). Falls back to the
+# pure-NumPy codec for formats it doesn't cover (big-endian, compressed,
+# multi-strip). Disable with MIL_NO_NATIVE_TIFF=1.
+_NATIVE = None
+if not os.environ.get("MIL_NO_NATIVE_TIFF"):
+    try:
+        from microimagelib_tpu.native import miltiff as _NATIVE  # type: ignore
+    except ImportError:
+        _NATIVE = None
+
+
 def _read_ifd_entries(mm, off, bo, big):
     """Parse one IFD; return (tags dict, next IFD offset).
 
@@ -184,6 +196,15 @@ def readtifstack(path, dtype=np.float32):
 
     16-bit unsigned input is widened to float; 32-bit float read natively
     (reference:src/apifunc.cpp:140-196). Returns ``(stack, size_xyz)``."""
+    if _NATIVE is not None and dtype == np.float32:
+        try:
+            raw, w, h, n, bits = _NATIVE.read_stack_f32(path)
+            stack = np.frombuffer(raw, dtype=np.float32).reshape(n, h, w)
+            return stack, (int(w), int(h), int(n))
+        except FileNotFoundError:
+            raise TiffError(f"*** File does not exist: {path}")
+        except ValueError:
+            pass  # unsupported layout for the native codec; fall through
     mm, bo, big, first = _open_tiff(path)
     try:
         pages = [_page_array(mm, bo, tags, path) for tags in _iter_ifds(mm, bo, big, first)]
@@ -295,6 +316,10 @@ def writetifstack(path, stack, bit_per_sample=16):
     if stack.ndim == 2:
         stack = stack[None]
     z, h, w = stack.shape
+    if _NATIVE is not None and bit_per_sample in (16, 32):
+        buf = np.ascontiguousarray(stack, dtype=np.float32)
+        _NATIVE.write_stack(path, buf, w, h, z, bit_per_sample)
+        return
     if bit_per_sample == 16:
         data = _float_to_u16_c_cast(stack)
         pages = [np.ascontiguousarray(data[i]).astype("<u2").tobytes() for i in range(z)]

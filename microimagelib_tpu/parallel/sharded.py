@@ -1,0 +1,178 @@
+"""Mesh-sharded execution paths: volumes beyond one chip's HBM and
+data-parallel timepoint batches.
+
+The RL loops here are byte-identical math to models/deconvolution.py but
+run under ``shard_map`` with the pencil-decomposed distributed FFT
+(ops/fft_sharded.py): volumes sharded along z on the mesh axis 'sp',
+spectra along y, one all-to-all per FFT direction riding ICI. Timepoint
+batches additionally shard their leading axis on 'dp' — the reference
+processes timepoints serially (reference:src/spim_fusion_batch.cpp:613).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from microimagelib_tpu.models.deconvolution import SMALLVALUE
+from microimagelib_tpu.ops.affine import corr3d_partials
+from microimagelib_tpu.ops.fft_sharded import conv_spec_pencil
+
+
+def _vol_spec():
+    return P("sp", None, None)
+
+
+def _spec_spec():
+    return P(None, "sp", None)
+
+
+def _rl_single_local(img, otf, otf_bp, n_iters, const_initial, nx, axis_name="sp"):
+    """Per-shard single-view RL body (runs inside shard_map)."""
+    img = jnp.maximum(img, SMALLVALUE)
+    if const_initial:
+        total = jax.lax.psum(jnp.sum(img), axis_name)
+        est0 = jnp.full(img.shape, total, dtype=img.dtype)
+    else:
+        est0 = img
+
+    def body(_, est):
+        fwd = conv_spec_pencil(est, otf, nx, axis_name)
+        ratio = img / fwd
+        upd = conv_spec_pencil(ratio, otf_bp, nx, axis_name)
+        return jnp.maximum(est * upd, SMALLVALUE)
+
+    return jax.lax.fori_loop(0, n_iters, body, est0)
+
+
+def _rl_dual_local(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b,
+                   n_iters, const_initial, nx, axis_name="sp"):
+    img_a = jnp.maximum(img_a, SMALLVALUE)
+    img_b = jnp.maximum(img_b, SMALLVALUE)
+    if const_initial:
+        total = (jax.lax.psum(jnp.sum(img_a), axis_name)
+                 + jax.lax.psum(jnp.sum(img_b), axis_name)) / 2
+        est0 = jnp.full(img_a.shape, total, dtype=img_a.dtype)
+    else:
+        est0 = (img_a + img_b) * 0.5
+
+    def half(est, img, otf, otf_bp):
+        fwd = conv_spec_pencil(est, otf, nx, axis_name)
+        ratio = img / fwd
+        upd = conv_spec_pencil(ratio, otf_bp, nx, axis_name)
+        return jnp.maximum(est * upd, SMALLVALUE)
+
+    def body(_, est):
+        est = half(est, img_a, otf_a, otf_bp_a)
+        est = half(est, img_b, otf_b, otf_bp_b)
+        return est
+
+    return jax.lax.fori_loop(0, n_iters, body, est0)
+
+
+def _check_divisible(shape, mesh):
+    n = mesh.shape["sp"]
+    sz, sy, _ = shape
+    if sz % n or sy % n:
+        raise ValueError(
+            f"Sharded decon needs z ({sz}) and y ({sy}) divisible by the "
+            f"'sp' mesh extent ({n}); pad the FFT grid accordingly")
+
+
+def rl_decon_single_sharded(img, otf, otf_bp, n_iters, mesh, const_initial=False):
+    """Single-view RL with the volume z-sharded across 'sp'. img on the
+    FFT grid; otf/otf_bp full spectra (replicated input, y-sharded use)."""
+    _check_divisible(img.shape, mesh)
+    nx = img.shape[2]
+    fn = shard_map(
+        partial(_rl_single_local, n_iters=n_iters, const_initial=const_initial, nx=nx),
+        mesh=mesh,
+        in_specs=(_vol_spec(), _spec_spec(), _spec_spec()),
+        out_specs=_vol_spec(),
+    )
+    jitted = jax.jit(fn)
+    return jitted(jnp.asarray(img), jnp.asarray(otf), jnp.asarray(otf_bp))
+
+
+def rl_decon_dual_sharded(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b,
+                          n_iters, mesh, const_initial=False):
+    """Joint dual-view RL on a z-sharded volume (beyond-HBM mode)."""
+    _check_divisible(img_a.shape, mesh)
+    nx = img_a.shape[2]
+    fn = shard_map(
+        partial(_rl_dual_local, n_iters=n_iters, const_initial=const_initial, nx=nx),
+        mesh=mesh,
+        in_specs=(_vol_spec(), _vol_spec(), _spec_spec(), _spec_spec(),
+                  _spec_spec(), _spec_spec()),
+        out_specs=_vol_spec(),
+    )
+    jitted = jax.jit(fn)
+    return jitted(jnp.asarray(img_a), jnp.asarray(img_b), jnp.asarray(otf_a),
+                  jnp.asarray(otf_b), jnp.asarray(otf_bp_a), jnp.asarray(otf_bp_b))
+
+
+def rl_decon_dual_batch_dp(imgs_a, imgs_b, otf_a, otf_b, otf_bp_a, otf_bp_b,
+                           n_iters, mesh, const_initial=False):
+    """Timepoint-batched joint RL: batch axis on 'dp', z-extent on 'sp'.
+    imgs_*: (t, z, y, x) on the FFT grid."""
+    _check_divisible(imgs_a.shape[1:], mesh)
+    nx = imgs_a.shape[3]
+
+    def local(a, b, o1, o2, o3, o4):
+        def one(a1, b1):
+            return _rl_dual_local(a1, b1, o1, o2, o3, o4, n_iters, const_initial, nx)
+        return jax.vmap(one)(a, b)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("dp", "sp", None, None), P("dp", "sp", None, None),
+                  _spec_spec(), _spec_spec(), _spec_spec(), _spec_spec()),
+        out_specs=P("dp", "sp", None, None),
+    )
+    jitted = jax.jit(fn)
+    return jitted(jnp.asarray(imgs_a), jnp.asarray(imgs_b), jnp.asarray(otf_a),
+                  jnp.asarray(otf_b), jnp.asarray(otf_bp_a), jnp.asarray(otf_bp_b))
+
+
+def fusion_step_multichip(mesh, imgs_a, imgs_b, otf_a, otf_b, otf_bp_a, otf_bp_b,
+                          tmx_batch, n_iters=1):
+    """One full multi-chip fusion step over a timepoint batch: per-
+    timepoint registration NCC partials (the Powell cost) plus the joint
+    RL decon iterations, all inside one jitted shard_map over a
+    ('dp', 'sp') mesh. This is the framework's flagship distributed step.
+
+    imgs_*: (t, z, y, x) on the FFT grid; tmx_batch: (t, 12).
+    Returns (decon_batch, ss, st)."""
+    _check_divisible(imgs_a.shape[1:], mesh)
+    nx = imgs_a.shape[3]
+
+    def local(a, b, m, o1, o2, o3, o4):
+        # NCC cost partials: each 'sp' shard resamples its z-slab of the
+        # full source; gathering the source once per step is the halo
+        # exchange (trilinear sampling can reach any z after the affine)
+        def one(a1, b1, m1):
+            b_full = jax.lax.all_gather(b1, "sp", axis=0, tiled=True)
+            a_full = jax.lax.all_gather(a1, "sp", axis=0, tiled=True)
+            ss, st = corr3d_partials(b_full, a_full, m1)
+            est = _rl_dual_local(a1, b1, o1, o2, o3, o4, n_iters, False, nx)
+            return est, ss / mesh.shape["sp"], st / mesh.shape["sp"]
+        est, ss, st = jax.vmap(one)(a, b, m)
+        return est, jax.lax.psum(ss, "sp"), jax.lax.psum(st, "sp")
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("dp", "sp", None, None), P("dp", "sp", None, None), P("dp", None),
+                  _spec_spec(), _spec_spec(), _spec_spec(), _spec_spec()),
+        out_specs=(P("dp", "sp", None, None), P("dp"), P("dp")),
+    )
+    jitted = jax.jit(fn)
+    return jitted(jnp.asarray(imgs_a, jnp.float32), jnp.asarray(imgs_b, jnp.float32),
+                  jnp.asarray(tmx_batch, jnp.float32), jnp.asarray(otf_a),
+                  jnp.asarray(otf_b), jnp.asarray(otf_bp_a), jnp.asarray(otf_bp_b))

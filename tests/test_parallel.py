@@ -1,0 +1,84 @@
+"""Sharded-path tests on the virtual 8-device CPU mesh: results must be
+byte-comparable to the single-device loops."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from microimagelib_tpu.models.deconvolution import gen_otf, rl_decon_dual, rl_decon_single
+from microimagelib_tpu.parallel.mesh import make_mesh
+from microimagelib_tpu.parallel.sharded import (
+    fusion_step_multichip,
+    rl_decon_dual_batch_dp,
+    rl_decon_dual_sharded,
+    rl_decon_single_sharded,
+)
+
+
+def gaussian_psf(shape, sigma):
+    zz, yy, xx = np.meshgrid(*[np.arange(s) - s // 2 for s in shape], indexing="ij")
+    g = np.exp(-(xx**2 + yy**2 + zz**2) / (2 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    shape = (16, 16, 16)
+    rng = np.random.default_rng(0)
+    img_a = (rng.random(shape) * 100 + 1).astype(np.float32)
+    img_b = (rng.random(shape) * 100 + 1).astype(np.float32)
+    psf = gaussian_psf((5, 5, 5), 1.0)
+    otf = gen_otf(jnp.asarray(psf), shape)
+    otf_bp = gen_otf(jnp.asarray(psf[::-1, ::-1, ::-1]), shape)
+    return shape, img_a, img_b, otf, otf_bp
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_single_sharded_matches_local(setup):
+    shape, img_a, _, otf, otf_bp = setup
+    mesh = make_mesh(n_sp=4, n_dp=2)
+    ref = np.asarray(rl_decon_single(jnp.asarray(img_a), otf, otf_bp, 5))
+    out = np.asarray(rl_decon_single_sharded(jnp.asarray(img_a), otf, otf_bp, 5, mesh))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_dual_sharded_matches_local(setup):
+    shape, img_a, img_b, otf, otf_bp = setup
+    mesh = make_mesh(n_sp=8, n_dp=1)
+    ref = np.asarray(rl_decon_dual(jnp.asarray(img_a), jnp.asarray(img_b), otf, otf, otf_bp, otf_bp, 4))
+    out = np.asarray(rl_decon_dual_sharded(jnp.asarray(img_a), jnp.asarray(img_b),
+                                           otf, otf, otf_bp, otf_bp, 4, mesh))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_batch_dp_matches_per_timepoint(setup):
+    shape, img_a, img_b, otf, otf_bp = setup
+    mesh = make_mesh(n_sp=2, n_dp=4)
+    batch_a = np.stack([img_a, img_b, img_a * 0.5 + 1, img_b * 2 + 1]).astype(np.float32)
+    batch_b = np.stack([img_b, img_a, img_b * 0.7 + 1, img_a * 1.5 + 1]).astype(np.float32)
+    out = np.asarray(rl_decon_dual_batch_dp(jnp.asarray(batch_a), jnp.asarray(batch_b),
+                                            otf, otf, otf_bp, otf_bp, 3, mesh))
+    for t in range(4):
+        ref = np.asarray(rl_decon_dual(jnp.asarray(batch_a[t]), jnp.asarray(batch_b[t]),
+                                       otf, otf, otf_bp, otf_bp, 3))
+        np.testing.assert_allclose(out[t], ref, rtol=2e-5, atol=2e-5)
+
+
+def test_fusion_step_multichip_runs(setup):
+    shape, img_a, img_b, otf, otf_bp = setup
+    mesh = make_mesh(n_sp=4, n_dp=2)
+    batch_a = np.stack([img_a, img_b]).astype(np.float32)
+    batch_b = np.stack([img_b, img_a]).astype(np.float32)
+    tmx = np.tile(np.array([1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], np.float32), (2, 1))
+    est, ss, st = fusion_step_multichip(mesh, batch_a, batch_b, otf, otf, otf_bp, otf_bp, tmx, n_iters=2)
+    assert est.shape == (2, *shape)
+    assert ss.shape == (2,)
+    # NCC partials match the direct computation
+    from microimagelib_tpu.ops.affine import corr3d_partials
+    ss0, st0 = corr3d_partials(jnp.asarray(batch_b[0]), jnp.asarray(batch_a[0]), tmx[0])
+    np.testing.assert_allclose(float(ss[0]), float(ss0), rtol=1e-5)
+    np.testing.assert_allclose(float(st[0]), float(st0), rtol=1e-5)
