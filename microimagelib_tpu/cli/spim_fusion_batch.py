@@ -63,10 +63,19 @@ def main(argv=None):
         print(f"*** Expected 34 or 36 arguments, got {len(argv)}")
         return 1
     setup_jax_cache()
-    from microimagelib_tpu.models.batch import BatchConfig, spim_fusion_batch
+    from microimagelib_tpu.models.batch import (
+        BatchConfig,
+        spim_fusion_batch,
+        spim_fusion_batch_multicolor,
+    )
     from microimagelib_tpu.utils.device import query_device
 
     a = argv
+    # multicolor protocol: argument 2 == "1" makes argument 3 the main
+    # folder holding <color>/SPIMA|SPIMB subfolders
+    # (reference:src/spim_fusion_batch.cpp:215-241 — Windows-only there,
+    # cross-platform here)
+    multicolor = a[1].strip() == "1"
     cfg = BatchConfig(
         out_dir=a[0], in_dir1=a[1], in_dir2=a[2], name1=a[3], name2=a[4],
         img_start=int(a[5]), img_end=int(a[6]), img_interval=int(a[7]), img_test=int(a[8]),
@@ -85,8 +94,13 @@ def main(argv=None):
     )
     if cfg.query_device:
         query_device(verbose=True)
-    processed = spim_fusion_batch(cfg)
-    print(f"Processed {len(processed)} timepoint(s)")
+    if multicolor:
+        results = spim_fusion_batch_multicolor(a[2], a[0], cfg)
+        total = sum(len(v) for v in results.values())
+        print(f"Processed {total} timepoint(s) across {len(results)} color(s)")
+    else:
+        processed = spim_fusion_batch(cfg)
+        print(f"Processed {len(processed)} timepoint(s)")
     return 0
 
 

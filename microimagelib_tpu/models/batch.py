@@ -31,9 +31,17 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from microimagelib_tpu.io.tiff import gettifinfo, readtifstack, writetifstack
 from microimagelib_tpu.io.tmx import read_tmx, write_tmx
-from microimagelib_tpu.models.deconvolution import decon_dualview
+from microimagelib_tpu.models.deconvolution import (
+    decon_dualview_prepared,
+    gen_otf,
+    _fft_grid,
+    _prep_pad,
+    flip3,
+)
 from microimagelib_tpu.models.fusion import preprocess_views
 from microimagelib_tpu.models.projections import mip3d, mp2d
 from microimagelib_tpu.models.registration import checkmatrix, reg3d
@@ -222,6 +230,25 @@ def spim_fusion_batch(cfg: BatchConfig):
     tmx_weighted = None
     tmx_apply = tmx_initial  # matrix applied in regMode 0 passes
 
+    # --- OTFs computed once, reused across every timepoint (the reference
+    # re-derives them inside decon_dualview per timepoint) ---
+    otf_state = {}
+
+    def get_otfs(grid_shape):
+        if otf_state.get("shape") != grid_shape:
+            otf_state["shape"] = grid_shape
+            p1 = jnp.asarray(psf1)
+            p2 = jnp.asarray(psf2)
+            otf_state["otf1"] = gen_otf(p1, grid_shape)
+            otf_state["otf2"] = gen_otf(p2, grid_shape)
+            if unmatch:
+                otf_state["bp1"] = gen_otf(jnp.asarray(psf1_bp), grid_shape)
+                otf_state["bp2"] = gen_otf(jnp.asarray(psf2_bp), grid_shape)
+            else:
+                otf_state["bp1"] = gen_otf(flip3(p1), grid_shape)
+                otf_state["bp2"] = gen_otf(flip3(p2), grid_shape)
+        return otf_state
+
     # regMode 1: register the test timepoint first, then apply to all
     if reg_mode == 1:
         t = cfg.img_test
@@ -309,13 +336,17 @@ def spim_fusion_batch(cfg: BatchConfig):
                         reg_b, cfg.bit_per_sample)
         t2 = time.time()
 
-        # --- joint deconvolution ---
+        # --- joint deconvolution (precomputed OTFs, reused every timepoint) ---
         _log(log_path, "... Deconvolution...\n")
-        decon_rec = np.zeros(10)
-        decon = decon_dualview(a_iso, reg_b, psf1, psf2, n_iters=cfg.it_num_decon,
-                               const_initial=False, psf_bp_a=psf1_bp, psf_bp_b=psf2_bp,
-                               verbose=cfg.verbose, records=decon_rec)
-        _log(log_path, f"\t... Deconvolution time cost: {decon_rec[9]:2.3f} s\n")
+        t_dec = time.time()
+        grid = _fft_grid((sz, sy, sx))
+        otfs = get_otfs(grid)
+        pad_a = _prep_pad(jnp.asarray(a_iso, jnp.float32), grid)
+        pad_b = _prep_pad(jnp.asarray(reg_b, jnp.float32), grid)
+        decon = np.asarray(decon_dualview_prepared(
+            pad_a, pad_b, otfs["otf1"], otfs["otf2"], otfs["bp1"], otfs["bp2"],
+            cfg.it_num_decon, False, (sz, sy, sx)))
+        _log(log_path, f"\t... Deconvolution time cost: {time.time() - t_dec:2.3f} s\n")
         write_async(writetifstack, os.path.join(paths["decon"], f"Decon_{t}.tif"),
                     decon, cfg.bit_per_sample)
 

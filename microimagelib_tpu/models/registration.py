@@ -361,13 +361,19 @@ def reg2d_affine(img1, img2, tmx_init=None, aff_method=1, ftol=1e-4, it_limit=30
 # --------------------------------------------------------------------------
 
 def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
-                 it_limit=3000, verbose=False, records=None, device=None):
+                 it_limit=3000, verbose=False, records=None, device=None,
+                 engine="auto"):
     """Core 3D affine registration (``reg3d_affine1``,
     reference:src/api_subfunc.cu:2732-2994).
 
     img1: target (fixed), img2: source (moving), equal (z, y, x) shapes.
     aff_method 0-7 as the reference ladder; flag_tmx/tmx is the input
     matrix. Returns (registered source, tmx12, records).
+
+    engine: 'host' runs the NR Powell on the host with one device call per
+    cost evaluation (the reference's structure); 'device' compiles the
+    ENTIRE ladder into one on-device program (powell_device) — the
+    TPU-native fast path; 'auto' picks 'device' on accelerator backends.
 
     records layout (len 8+): [1] initial NCC, [2] intermediate NCC,
     [3] final NCC, [4] per-eval ms, [5] total evals, [6] iteration s,
@@ -447,6 +453,41 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
         print(f"\t... time cost for single sub iteration: {records[4]:f} ms;")
 
     t_iter0 = time.time()
+
+    if engine == "auto":
+        engine = "device" if jax.default_backend() != "cpu" else "host"
+
+    if engine == "device" and aff_method in (1, 2, 3, 4, 5, 6, 7):
+        from microimagelib_tpu.models.registration_device import reg_ladder_device
+
+        aff_dev, fret_dev, stage_costs, nev = reg_ladder_device(
+            src_ms, tgt_ms, jnp.float32(sd_t), jnp.asarray(p_init, jnp.float32),
+            aff_method, jnp.float32(ftol), jnp.int32(it_limit))
+        aff_coef = np.asarray(aff_dev, np.float32)
+        fret = float(fret_dev)
+        stage = np.asarray(stage_costs)
+        if aff_method in (6, 7) and np.isfinite(stage[-2 if aff_method == 7 else 0]):
+            records[2] = -float(stage[2] if aff_method == 7 else stage[0])
+        if verbose and aff_method == 7:
+            labels = ("3 DOF", "6 DOF", "9 DOF")
+            for lbl, c in zip(labels, stage[:3]):
+                if np.isfinite(c):
+                    print(f"\t... cross correlation value after {lbl}: {-float(c):f};")
+        counter.count = int(nev)
+        if flag_tmx and tmx is not None and aff_method != 5:
+            aff_coef = compose_affine(np.asarray(tmx, np.float32), aff_coef)
+        records[3] = -fret
+        records[5] = counter.count
+        records[6] = time.time() - t_iter0
+        if verbose:
+            print(f"\t... optimized cross correlation value: {-fret:f};")
+            print(f"\t... total sub iteration number: {counter.count};")
+            print(f"\t... time cost for all iterations: {records[6]:f} s;")
+        reg = affine_transform_3d(img2, aff_coef, img1.shape)
+        records[7] = time.time() - t_start
+        if verbose:
+            print(f"\t... time cost for registration: {records[7]:f} s;")
+        return np.asarray(reg), np.asarray(aff_coef, np.float32), records
 
     def run_powell(p0, fn, this_ftol):
         counter.func = fn

@@ -150,3 +150,30 @@ def test_check_device_cli(capsys):
 
     assert main([]) == 0
     assert "device" in capsys.readouterr().out.lower()
+
+
+def test_spim_fusion_batch_cli_multicolor(tmp_path):
+    from microimagelib_tpu.cli.spim_fusion_batch import main
+
+    psf = gaussian_psf((5, 5, 5), 1.0)
+    main_dir = tmp_path / "colors"
+    for c in ("488", "561"):
+        (main_dir / c / "SPIMA").mkdir(parents=True)
+        (main_dir / c / "SPIMB").mkdir(parents=True)
+        for t in range(2):
+            vol = blobs((12, 12, 12), n=5, seed=30 + t)
+            writetifstack(str(main_dir / c / "SPIMA" / f"a_{t}.tif"), vol, 32)
+            writetifstack(str(main_dir / c / "SPIMB" / f"b_{t}.tif"), np.roll(vol, 1, axis=2), 32)
+    writetifstack(str(tmp_path / "p.tif"), psf, 32)
+    args = [
+        str(tmp_path / "out"), "1", str(main_dir),
+        "a_", "b_", "0", "1", "1", "0",
+        "1", "1", "1", "1", "1", "1",
+        "3", "0", "0", "none", "0.0001", "150",
+        "0", "0", str(tmp_path / "p.tif"), str(tmp_path / "p.tif"), "2",
+        "0", "0", "0", "0", "0", "32", "0", "0",
+    ]
+    assert main(args) == 0
+    for c in ("488", "561"):
+        assert (tmp_path / "out" / c / "Decon" / "Decon_0.tif").exists()
+        assert (tmp_path / "out" / c / "Decon" / "Decon_1.tif").exists()

@@ -1,0 +1,110 @@
+"""On-device Powell: must match the host NR implementation's behavior on
+the same cost landscapes and drive registration to the same optima."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from microimagelib_tpu.ops.powell import powell as powell_host
+from microimagelib_tpu.ops.powell_device import powell_device
+from microimagelib_tpu.models.registration import reg3d_affine, zncc
+from microimagelib_tpu.models.registration_device import (
+    dof_to_matrix_jnp,
+    matrix_to_params_jnp,
+    params_to_matrix_jnp,
+)
+from microimagelib_tpu.ops.matrix import dof_to_matrix, identity_tmx, matrix_to_params
+from microimagelib_tpu.ops.affine import affine_transform_3d
+
+
+def smooth_blobs(shape, n=10, seed=0, sigma=2.0):
+    rng = np.random.default_rng(seed)
+    vol = np.zeros(shape, dtype=np.float32)
+    for _ in range(n):
+        z, y, x = (rng.integers(s // 4, 3 * s // 4) for s in shape)
+        vol[z, y, x] = rng.uniform(80, 200)
+    zz, yy, xx = np.meshgrid(*[np.arange(s) - s // 2 for s in shape], indexing="ij")
+    g = np.exp(-(xx**2 + yy**2 + zz**2) / (2 * sigma**2))
+    g = np.roll(g / g.sum(), [-s // 2 for s in shape], axis=(0, 1, 2))
+    return np.fft.irfftn(np.fft.rfftn(vol) * np.fft.rfftn(g), s=shape, axes=(0, 1, 2)).astype(np.float32)
+
+
+def test_matrix_builders_match_host():
+    dof = np.array([1.5, -2, 0.5, 10, 5, -3, 1.1, 0.9, 1.0], np.float32)
+    for n in (3, 6, 7, 9):
+        host = dof_to_matrix(dof, n)
+        dev = np.asarray(dof_to_matrix_jnp(jnp.asarray(dof), n))
+        np.testing.assert_allclose(dev, host, atol=1e-5)
+    m = dof_to_matrix(dof, 9)
+    np.testing.assert_allclose(np.asarray(params_to_matrix_jnp(jnp.asarray(matrix_to_params(m)))), m, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(matrix_to_params_jnp(jnp.asarray(m))), matrix_to_params(m), atol=1e-6)
+
+
+def test_powell_device_quadratic():
+    def cost(x):
+        return 0.05 * ((x[0] - 3.0) ** 2 + 2.0 * (x[1] + 1.0) ** 2) - 0.9
+
+    p, f, nev = jax.jit(lambda p0: powell_device(cost, p0, 1e-6, 10000))(jnp.zeros(2))
+    np.testing.assert_allclose(np.asarray(p), [3.0, -1.0], atol=2e-2)
+    assert float(f) < -0.9 + 1e-3
+    assert int(nev) > 0
+
+
+def test_powell_device_matches_host_on_same_cost():
+    def cost_np(x):
+        return float(0.05 * ((1 - x[0]) ** 2 + 5.0 * (x[1] - x[0] ** 2) ** 2) - 0.9)
+
+    def cost_jnp(x):
+        return 0.05 * ((1 - x[0]) ** 2 + 5.0 * (x[1] - x[0] ** 2) ** 2) - 0.9
+
+    p_h, f_h, _, _ = powell_host(np.array([-1.0, 1.0]), cost_np, 1e-8, 100000)
+    p_d, f_d, _ = jax.jit(lambda p0: powell_device(cost_jnp, p0, 1e-8, 100000))(
+        jnp.asarray([-1.0, 1.0], jnp.float32))
+    np.testing.assert_allclose(np.asarray(p_d), p_h, atol=0.05)
+    assert abs(float(f_d) - f_h) < 1e-3
+
+
+def test_powell_device_cost_abort():
+    def cost(x):
+        return jnp.float32(5.0) + 0.0 * x[0]
+
+    p, f, nev = jax.jit(lambda p0: powell_device(cost, p0, 1e-4, 1000))(jnp.zeros(1))
+    assert float(f) == 5.0
+    assert int(nev) == 1
+
+
+def test_device_registration_matches_host_quality():
+    vol = smooth_blobs((24, 24, 24), n=10, seed=4)
+    true_m = identity_tmx()
+    true_m[3], true_m[7], true_m[11] = 1.7, -1.2, 0.8
+    moved = np.asarray(affine_transform_3d(jnp.asarray(vol), true_m, vol.shape))
+    reg_h, tmx_h, rec_h = reg3d_affine(vol, moved, aff_method=1, ftol=1e-5,
+                                       it_limit=2000, engine="host")
+    reg_d, tmx_d, rec_d = reg3d_affine(vol, moved, aff_method=1, ftol=1e-5,
+                                       it_limit=2000, engine="device")
+    assert rec_d[3] > 0.98
+    assert rec_d[3] >= rec_h[3] - 0.01
+    np.testing.assert_allclose([tmx_d[3], tmx_d[7], tmx_d[11]],
+                               [-1.7, 1.2, -0.8], atol=0.35)
+
+
+def test_device_ladder_method7():
+    vol = smooth_blobs((20, 20, 20), n=10, seed=5)
+    true_m = dof_to_matrix([1.0, -0.8, 0.5, 2.0, -1.5, 1.0, 1.02, 0.98, 1.01], 9)
+    moved = np.asarray(affine_transform_3d(jnp.asarray(vol), true_m, vol.shape))
+    reg, tmx, rec = reg3d_affine(vol, moved, aff_method=7, ftol=1e-4,
+                                 it_limit=4000, engine="device")
+    assert rec[3] > 0.93
+    assert zncc(reg, vol) > 0.93
+
+
+def test_device_engine_with_input_matrix():
+    vol = smooth_blobs((20, 20, 20), n=10, seed=6)
+    true_m = identity_tmx()
+    true_m[3] = 2.5
+    moved = np.asarray(affine_transform_3d(jnp.asarray(vol), true_m, vol.shape))
+    near = identity_tmx()
+    near[3] = -2.0
+    reg, tmx, _ = reg3d_affine(vol, moved, aff_method=1, flag_tmx=True, tmx=near,
+                               ftol=1e-5, it_limit=2000, engine="device")
+    np.testing.assert_allclose(tmx[3], -2.5, atol=0.2)
