@@ -28,11 +28,18 @@ import jax.numpy as jnp
 
 def imresize3d(img, out_shape_zyx, device=None):
     """Resample via a pure-scaling affine matrix (``imresize3d``,
-    reference:src/apifunc.cpp:429-446). out/in sizes define the scale."""
-    iz, iy, ix = np.asarray(img).shape
-    oz, oy, ox = out_shape_zyx
-    m = scale_tmx(ix / ox, iy / oy, iz / oz)
-    return atrans3dgpu(img, m, out_shape_zyx, device)
+    reference:src/apifunc.cpp:429-446). The transform is diagonal, so the
+    trilinear resample factorizes into three MXU matmuls
+    (ops/resample.py) — identical semantics to the gather path, far
+    faster for the large isotropization upsamples."""
+    from microimagelib_tpu.ops.resample import resize3d_separable
+
+    src = jnp.asarray(np.asarray(img, np.float32))
+    if device is not None:
+        import jax
+
+        src = jax.device_put(src, device)
+    return np.asarray(resize3d_separable(src, out_shape_zyx))
 
 
 def imoperation3d(img, op_choice, device=None):

@@ -45,12 +45,17 @@ def _trilerp_flat(src, cx, cy, cz, strict_lo):
     fy = cy - y0
     fz = cz - z0
 
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, sx - 1)
-    x1i = jnp.clip(x0i + 1, 0, sx - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, sy - 1)
-    y1i = jnp.clip(y0i + 1, 0, sy - 1)
-    z0i = jnp.clip(z0.astype(jnp.int32), 0, sz - 1)
-    z1i = jnp.clip(z0i + 1, 0, sz - 1)
+    # clamp each footprint texel independently (CUDA clamp addressing):
+    # at c in [-1, 0) both neighbors resolve to texel 0
+    x0r = x0.astype(jnp.int32)
+    y0r = y0.astype(jnp.int32)
+    z0r = z0.astype(jnp.int32)
+    x0i = jnp.clip(x0r, 0, sx - 1)
+    x1i = jnp.clip(x0r + 1, 0, sx - 1)
+    y0i = jnp.clip(y0r, 0, sy - 1)
+    y1i = jnp.clip(y0r + 1, 0, sy - 1)
+    z0i = jnp.clip(z0r, 0, sz - 1)
+    z1i = jnp.clip(z0r + 1, 0, sz - 1)
 
     syx = sy * sx
     b00 = z0i * syx + y0i * sx
@@ -137,10 +142,12 @@ def _bilerp_flat(src, cx, cy, strict_lo):
     y0 = jnp.floor(cy)
     fx = cx - x0
     fy = cy - y0
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, sx - 1)
-    x1i = jnp.clip(x0i + 1, 0, sx - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, sy - 1)
-    y1i = jnp.clip(y0i + 1, 0, sy - 1)
+    x0r = x0.astype(jnp.int32)
+    y0r = y0.astype(jnp.int32)
+    x0i = jnp.clip(x0r, 0, sx - 1)
+    x1i = jnp.clip(x0r + 1, 0, sx - 1)
+    y0i = jnp.clip(y0r, 0, sy - 1)
+    y1i = jnp.clip(y0r + 1, 0, sy - 1)
     v00 = jnp.take(flat, y0i * sx + x0i)
     v01 = jnp.take(flat, y0i * sx + x1i)
     v10 = jnp.take(flat, y1i * sx + x0i)
