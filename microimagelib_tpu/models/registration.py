@@ -22,6 +22,7 @@ TPU-native design points:
 from __future__ import annotations
 
 import math
+import os
 import time
 
 import jax
@@ -455,7 +456,92 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
     t_iter0 = time.time()
 
     if engine == "auto":
-        engine = "device" if jax.default_backend() != "cpu" else "host"
+        if jax.default_backend() == "cpu":
+            engine = "device"
+        else:
+            # accelerator: the single-program ladder is fastest, but very
+            # long single executions can trip device watchdogs on large
+            # volumes (observed on the axon TPU at 128^3); fall back to
+            # the hybrid one-call-per-linmin engine above a voxel budget
+            max_vox = int(os.environ.get("MIL_DEVICE_LADDER_MAX_VOXELS", str(84 ** 3)))
+            engine = "device" if total <= max_vox else "hybrid"
+
+    if engine == "hybrid" and aff_method in (1, 2, 3, 4, 5, 6, 7):
+        from microimagelib_tpu.models.registration_device import (
+            cost_eval_reg_device,
+            linmin_reg_device,
+        )
+
+        sd_t_f = jnp.float32(sd_t)
+
+        def stage_powell(p0, mode, this_ftol):
+            def func(p):
+                return float(cost_eval_reg_device(src_ms, tgt_ms, sd_t_f,
+                                                  np.asarray(p, np.float32), mode))
+
+            def linmin_fn(p_cur, xi_cur):
+                return linmin_reg_device(src_ms, tgt_ms, sd_t_f,
+                                         np.asarray(p_cur, np.float32),
+                                         np.asarray(xi_cur, np.float32), mode)
+
+            counter.func = func
+            p_min, f_min, _, _ = powell(p0, func, this_ftol, it_limit,
+                                        counter=counter, linmin_fn=linmin_fn)
+            return p_min, f_min
+
+        fret = initial_cost
+        dof9 = np.zeros(9, dtype=np.float64)
+        dof9[6:9] = 1.0
+
+        def hybrid_dof_stage(dof_num, this_ftol):
+            nonlocal dof9
+            mode = f"dof{dof_num}"
+            sub, f_min = stage_powell(dof9[:dof_num].copy(), mode, this_ftol)
+            dof9[:dof_num] = sub
+            return f_min
+
+        if aff_method in (1, 2, 3, 4):
+            dof_num = {1: 3, 2: 6, 3: 7, 4: 9}[aff_method]
+            fret = hybrid_dof_stage(dof_num, ftol)
+            aff_coef = dof_to_matrix(dof9, dof_num)
+        elif aff_method == 5:
+            p, fret = stage_powell(p_init.astype(np.float64), "p12", ftol)
+            aff_coef = params_to_matrix(p)
+        elif aff_method == 6:
+            fret = hybrid_dof_stage(6, 0.01)
+            records[2] = -fret
+            p = matrix_to_params(dof_to_matrix(dof9, 6)).astype(np.float64)
+            p, fret = stage_powell(p, "p12", ftol)
+            aff_coef = params_to_matrix(p)
+        else:  # aff_method == 7
+            fret = hybrid_dof_stage(3, 0.01)
+            if verbose:
+                print(f"\t... cross correlation value after 3 DOF: {-fret:f};")
+            fret = hybrid_dof_stage(6, 0.01)
+            if verbose:
+                print(f"\t... cross correlation value after 6 DOF: {-fret:f};")
+            fret = hybrid_dof_stage(9, 0.005)
+            records[2] = -fret
+            if verbose:
+                print(f"\t... cross correlation value after 9 DOF: {-fret:f};")
+            p = matrix_to_params(dof_to_matrix(dof9, 9)).astype(np.float64)
+            p, fret = stage_powell(p, "p12", ftol)
+            aff_coef = params_to_matrix(p)
+
+        if flag_tmx and tmx is not None and aff_method != 5:
+            aff_coef = compose_affine(np.asarray(tmx, np.float32), aff_coef)
+        records[3] = -fret
+        records[5] = counter.count
+        records[6] = time.time() - t_iter0
+        if verbose:
+            print(f"\t... optimized cross correlation value: {-fret:f};")
+            print(f"\t... total sub iteration number: {counter.count};")
+            print(f"\t... time cost for all iterations: {records[6]:f} s;")
+        reg = affine_transform_3d(img2, aff_coef, img1.shape)
+        records[7] = time.time() - t_start
+        if verbose:
+            print(f"\t... time cost for registration: {records[7]:f} s;")
+        return np.asarray(reg), np.asarray(aff_coef, np.float32), records
 
     if engine == "device" and aff_method in (1, 2, 3, 4, 5, 6, 7):
         from microimagelib_tpu.models.registration_device import reg_ladder_device
@@ -582,6 +668,9 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
     t0 = time.time()
     if records is None:
         records = np.zeros(11, dtype=np.float64)
+    from microimagelib_tpu.utils.device import free_memory_mb
+
+    records[8] = free_memory_mb(device)
     img1 = jnp.asarray(img1, jnp.float32)
     img2 = jnp.asarray(img2, jnp.float32)
     if device is not None:
@@ -591,6 +680,7 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
         img2 = align_size_3d(img2, img1.shape)
     sz, sy, sx = img1.shape
     records[0] = 1
+    records[9] = free_memory_mb(device)
 
     if reg_choice == 0:
         reg, out_tmx, records = reg3d_affine(
@@ -634,6 +724,7 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
         raise ValueError("Wrong registration choice")
 
     records[7] = time.time() - t0
+    records[10] = free_memory_mb(device)
     return np.asarray(reg), out_tmx, records
 
 

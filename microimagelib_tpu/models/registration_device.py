@@ -177,3 +177,46 @@ def _make_dof_cost(cost_m, dof_num: int):
 def initial_cost_device(src_ms, tgt_ms, sd_t, p_init12):
     cost_m = _make_cost(src_ms, tgt_ms, sd_t)
     return cost_m(params_to_matrix_jnp(p_init12))
+
+
+# ---------------------------------------------------------------------------
+# hybrid engine: one jitted device call per LINE MINIMIZATION
+# ---------------------------------------------------------------------------
+# The full-ladder program above can exceed the device runtime's
+# per-execution watchdog on large volumes (observed: the 128^3 ladder
+# crashes the axon TPU worker while 64^3 completes in ~28 s). The hybrid
+# engine keeps Powell's outer loop on the host but fuses each complete
+# mnbrak+brent line search (~30-60 cost evaluations) into one bounded
+# device program — ~2 orders of magnitude fewer round trips than the
+# reference-style per-eval scheme, with no long-running programs.
+
+from microimagelib_tpu.ops.powell_device import _linmin as _linmin_dev  # noqa: E402
+
+_COST_MODES = ("dof3", "dof6", "dof7", "dof9", "p12")
+
+
+def _cost_for_mode(src_ms, tgt_ms, sd_t, mode):
+    cost_m = _make_cost(src_ms, tgt_ms, sd_t)
+    if mode == "p12":
+        return lambda p: cost_m(params_to_matrix_jnp(p))
+    dof_num = int(mode[3:])
+
+    def fn(sub):
+        return cost_m(dof_to_matrix_jnp(_full_dof(sub, dof_num), dof_num))
+
+    return fn
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def linmin_reg_device(src_ms, tgt_ms, sd_t, p, xi, mode):
+    """One full line minimization of the registration cost on device.
+    Returns (p_new, xi_scaled, f_min, n_evals)."""
+    cost = _cost_for_mode(src_ms, tgt_ms, sd_t, mode)
+    return _linmin_dev(cost, jnp.asarray(p, jnp.float32), jnp.asarray(xi, jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def cost_eval_reg_device(src_ms, tgt_ms, sd_t, p, mode):
+    """Single cost evaluation (Powell's extrapolation probe)."""
+    cost = _cost_for_mode(src_ms, tgt_ms, sd_t, mode)
+    return cost(jnp.asarray(p, jnp.float32))

@@ -108,3 +108,26 @@ def test_device_engine_with_input_matrix():
     reg, tmx, _ = reg3d_affine(vol, moved, aff_method=1, flag_tmx=True, tmx=near,
                                ftol=1e-5, it_limit=2000, engine="device")
     np.testing.assert_allclose(tmx[3], -2.5, atol=0.2)
+
+
+def test_hybrid_engine_matches_device_quality():
+    vol = smooth_blobs((20, 20, 20), n=10, seed=7)
+    true_m = identity_tmx()
+    true_m[3], true_m[7], true_m[11] = 2.0, -1.0, 1.5
+    moved = np.asarray(affine_transform_3d(jnp.asarray(vol), true_m, vol.shape))
+    reg_h, tmx_h, rec_h = reg3d_affine(vol, moved, aff_method=1, ftol=1e-5,
+                                       it_limit=2000, engine="hybrid")
+    # f32 line minimization converges marginally differently from f64
+    assert rec_h[3] > 0.97
+    np.testing.assert_allclose([tmx_h[3], tmx_h[7], tmx_h[11]],
+                               [-2.0, 1.0, -1.5], atol=0.35)
+
+
+def test_hybrid_ladder_method7():
+    vol = smooth_blobs((20, 20, 20), n=10, seed=8)
+    true_m = dof_to_matrix([1.0, -0.8, 0.5, 2.0, -1.5, 1.0, 1.0, 1.0, 1.0], 6)
+    moved = np.asarray(affine_transform_3d(jnp.asarray(vol), true_m, vol.shape))
+    reg, tmx, rec = reg3d_affine(vol, moved, aff_method=7, ftol=1e-4,
+                                 it_limit=4000, engine="hybrid")
+    assert rec[3] > 0.93
+    assert zncc(reg, vol) > 0.93
