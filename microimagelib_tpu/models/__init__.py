@@ -16,6 +16,7 @@ from microimagelib_tpu.models.registration import (
 from microimagelib_tpu.models.fusion import fusion_dualview, imoperation3d, imresize3d
 from microimagelib_tpu.models.projections import mip3d, mp2d, mp3d
 from microimagelib_tpu.models.batch import BatchConfig, spim_fusion_batch
+from microimagelib_tpu.models.backprojector import gen_backprojector
 
 __all__ = [
     "decon_dualview",
@@ -37,4 +38,5 @@ __all__ = [
     "mp3d",
     "BatchConfig",
     "spim_fusion_batch",
+    "gen_backprojector",
 ]
