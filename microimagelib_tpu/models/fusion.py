@@ -20,8 +20,6 @@ import numpy as np
 from microimagelib_tpu.models.deconvolution import decon_dualview
 from microimagelib_tpu.models.registration import checkmatrix, reg3d
 from microimagelib_tpu.ops.basics import rot_by_y_axis
-from microimagelib_tpu.ops.matrix import scale_tmx
-from microimagelib_tpu.models.registration import atrans3dgpu
 
 import jax.numpy as jnp
 

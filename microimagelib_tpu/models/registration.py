@@ -652,12 +652,84 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
 
 
 # --------------------------------------------------------------------------
+# multi-resolution pyramid
+# --------------------------------------------------------------------------
+
+def _mean_pool(vol, k):
+    """k-fold mean pooling per axis (trailing remainder cropped)."""
+    sz, sy, sx = vol.shape
+    vol = vol[: sz - sz % k, : sy - sy % k, : sx - sx % k]
+    return vol.reshape(sz // k, k, sy // k, k, sx // k, k).mean(axis=(1, 3, 5))
+
+
+def _tmx_coarse_to_full(m_c, k):
+    """Matrix found on a k-pooled grid -> full-resolution matrix.
+    Pooled voxel centers sit at full coordinate k*i + (k-1)/2, so
+    A stays and t_f = k*t_c + delta - A@delta with delta = (k-1)/2."""
+    m = np.asarray(m_c, np.float64).reshape(3, 4)
+    delta = np.full(3, (k - 1) / 2.0)
+    out = m.copy()
+    out[:, 3] = k * m[:, 3] + delta - m[:, :3] @ delta
+    return out.reshape(12).astype(np.float32)
+
+
+def _tmx_full_to_coarse(m_f, k):
+    m = np.asarray(m_f, np.float64).reshape(3, 4)
+    delta = np.full(3, (k - 1) / 2.0)
+    out = m.copy()
+    out[:, 3] = (m[:, 3] - delta + m[:, :3] @ delta) / k
+    return out.reshape(12).astype(np.float32)
+
+
+def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
+                         ftol=1e-4, it_limit=3000, verbose=False, records=None,
+                         device=None, engine="auto", factor=None):
+    """Coarse-to-fine affine registration: run the DOF ladder on a
+    mean-pooled pair (where each cost evaluation is factor^3 cheaper),
+    then polish with a full-resolution 12-DOF stage seeded by the scaled
+    matrix. A standard multi-resolution strategy the reference lacks —
+    it changes the search trajectory, not the transform model, and the
+    final full-resolution stage optimizes the exact same NCC objective.
+
+    factor: pooling factor (auto: halve until the coarse level is
+    <= ~96^3 voxels)."""
+    img1 = np.asarray(img1, np.float32)
+    img2 = np.asarray(img2, np.float32)
+    if records is None:
+        records = np.zeros(11, dtype=np.float64)
+    total = img1.size
+    if factor is None:
+        factor = 1
+        t = total
+        while t > 96 ** 3:
+            factor *= 2
+            t = total // (factor ** 3)
+    if factor <= 1:
+        return reg3d_affine(img1, img2, aff_method, flag_tmx, tmx, ftol,
+                            it_limit, verbose, records, device, engine)
+    c1 = _mean_pool(img1, factor)
+    c2 = _mean_pool(img2, factor)
+    tmx_c = _tmx_full_to_coarse(tmx, factor) if (flag_tmx and tmx is not None) else None
+    if verbose:
+        print(f"\t... pyramid: coarse search at 1/{factor} resolution {tuple(c1.shape)}")
+    _, m_coarse, rec_c = reg3d_affine(c1, c2, aff_method, flag_tmx, tmx_c,
+                                      ftol, it_limit, verbose, None, device, engine)
+    m_init = _tmx_coarse_to_full(m_coarse, factor)
+    if verbose:
+        print("\t... pyramid: full-resolution 12-DOF polish")
+    reg, m_full, records = reg3d_affine(img1, img2, 5, True, m_init, ftol,
+                                        it_limit, verbose, records, device, engine)
+    records[2] = rec_c[3]  # coarse-stage NCC as the intermediate record
+    return reg, m_full, records
+
+
+# --------------------------------------------------------------------------
 # reg3d dispatcher
 # --------------------------------------------------------------------------
 
 def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
           ftol=1e-4, it_limit=3000, device=None, mem_mode=-1, verbose=False,
-          records=None):
+          records=None, engine="auto", pyramid="auto"):
     """Main 3D registration entry (``reg3d``,
     reference:src/api_reg.cpp:264-607).
 
@@ -682,6 +754,16 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
     records[0] = 1
     records[9] = free_memory_mb(device)
 
+    if pyramid == "auto":
+        pyramid = img1.size > 96 ** 3 and engine != "host"
+
+    def run_affine(i1, i2, method, flag, mx):
+        if pyramid:
+            return reg3d_affine_pyramid(i1, i2, method, flag, mx, ftol, it_limit,
+                                        verbose, records, device, engine)
+        return reg3d_affine(i1, i2, method, flag, mx, ftol, it_limit,
+                            verbose, records, device, engine)
+
     if reg_choice == 0:
         reg, out_tmx, records = reg3d_affine(
             img1, img2, 0, flag_tmx, tmx, ftol, it_limit, verbose, records, device)
@@ -691,14 +773,12 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
         out_tmx = identity_tmx()
         out_tmx[3], out_tmx[7], out_tmx[11] = shifts
     elif reg_choice == 2:
-        reg, out_tmx, records = reg3d_affine(
-            img1, img2, aff_method, flag_tmx, tmx, ftol, it_limit, verbose, records, device)
+        reg, out_tmx, records = run_affine(img1, img2, aff_method, flag_tmx, tmx)
     elif reg_choice == 3:
         shifts = reg3d_phasor(img1, img2)
         t = identity_tmx()
         t[3], t[7], t[11] = shifts
-        reg, out_tmx, records = reg3d_affine(
-            img1, img2, aff_method, True, t, ftol, it_limit, verbose, records, device)
+        reg, out_tmx, records = run_affine(img1, img2, aff_method, True, t)
     elif reg_choice == 4:
         if verbose:
             print("\t... 2D MIP registration ... ")
@@ -718,8 +798,7 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
         if verbose:
             print(f"\t... shift translation, X: {t[3]:.1f}; Y: {t[7]:.1f}; Z: {t[11]:.1f}")
             print("\t... 3D registration ... ")
-        reg, out_tmx, records = reg3d_affine(
-            img1, img2, aff_method, True, t, ftol, it_limit, verbose, records, device)
+        reg, out_tmx, records = run_affine(img1, img2, aff_method, True, t)
     else:
         raise ValueError("Wrong registration choice")
 

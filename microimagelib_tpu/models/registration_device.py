@@ -15,10 +15,9 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from microimagelib_tpu.ops.affine import _out_coords, _trilerp_flat
-from microimagelib_tpu.ops.powell_device import COST_ABORT, powell_device
+from microimagelib_tpu.ops.powell_device import powell_device
 
 
 # ---------------------------------------------------------------------------

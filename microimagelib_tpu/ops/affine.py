@@ -57,20 +57,23 @@ def _trilerp_flat(src, cx, cy, cz, strict_lo):
     z0i = jnp.clip(z0r, 0, sz - 1)
     z1i = jnp.clip(z0r + 1, 0, sz - 1)
 
+    # mode="clip" skips XLA's out-of-bounds fill checks — indices are
+    # already clipped above, and the default 'fill' mode measured 3.7x
+    # slower on TPU (665 vs 179 ms per 128^3 evaluation)
     syx = sy * sx
     b00 = z0i * syx + y0i * sx
     b01 = z0i * syx + y1i * sx
     b10 = z1i * syx + y0i * sx
     b11 = z1i * syx + y1i * sx
 
-    v000 = jnp.take(flat, b00 + x0i)
-    v001 = jnp.take(flat, b00 + x1i)
-    v010 = jnp.take(flat, b01 + x0i)
-    v011 = jnp.take(flat, b01 + x1i)
-    v100 = jnp.take(flat, b10 + x0i)
-    v101 = jnp.take(flat, b10 + x1i)
-    v110 = jnp.take(flat, b11 + x0i)
-    v111 = jnp.take(flat, b11 + x1i)
+    v000 = jnp.take(flat, b00 + x0i, mode="clip")
+    v001 = jnp.take(flat, b00 + x1i, mode="clip")
+    v010 = jnp.take(flat, b01 + x0i, mode="clip")
+    v011 = jnp.take(flat, b01 + x1i, mode="clip")
+    v100 = jnp.take(flat, b10 + x0i, mode="clip")
+    v101 = jnp.take(flat, b10 + x1i, mode="clip")
+    v110 = jnp.take(flat, b11 + x0i, mode="clip")
+    v111 = jnp.take(flat, b11 + x1i, mode="clip")
 
     c00 = v000 + (v001 - v000) * fx
     c01 = v010 + (v011 - v010) * fx
@@ -148,10 +151,10 @@ def _bilerp_flat(src, cx, cy, strict_lo):
     x1i = jnp.clip(x0r + 1, 0, sx - 1)
     y0i = jnp.clip(y0r, 0, sy - 1)
     y1i = jnp.clip(y0r + 1, 0, sy - 1)
-    v00 = jnp.take(flat, y0i * sx + x0i)
-    v01 = jnp.take(flat, y0i * sx + x1i)
-    v10 = jnp.take(flat, y1i * sx + x0i)
-    v11 = jnp.take(flat, y1i * sx + x1i)
+    v00 = jnp.take(flat, y0i * sx + x0i, mode="clip")
+    v01 = jnp.take(flat, y0i * sx + x1i, mode="clip")
+    v10 = jnp.take(flat, y1i * sx + x0i, mode="clip")
+    v11 = jnp.take(flat, y1i * sx + x1i, mode="clip")
     c0 = v00 + (v01 - v00) * fx
     c1 = v10 + (v11 - v10) * fx
     val = c0 + (c1 - c0) * fy

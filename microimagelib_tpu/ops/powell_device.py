@@ -19,9 +19,6 @@ abort, and the shared eval-count cap checked between line minimizations
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -131,3 +131,53 @@ def test_hybrid_ladder_method7():
                                  it_limit=4000, engine="hybrid")
     assert rec[3] > 0.93
     assert zncc(reg, vol) > 0.93
+
+
+def test_pyramid_registration():
+    from microimagelib_tpu.models.registration import reg3d_affine_pyramid
+
+    vol = smooth_blobs((32, 32, 32), n=14, seed=9, sigma=2.5)
+    true_m = identity_tmx()
+    true_m[3], true_m[7], true_m[11] = 3.0, -2.0, 1.5
+    moved = np.asarray(affine_transform_3d(jnp.asarray(vol), true_m, vol.shape))
+    reg, tmx, rec = reg3d_affine_pyramid(vol, moved, aff_method=1, ftol=1e-5,
+                                         it_limit=2000, factor=2)
+    assert rec[3] > 0.97
+    np.testing.assert_allclose([tmx[3], tmx[7], tmx[11]], [-3.0, 2.0, -1.5], atol=0.4)
+
+
+def test_pyramid_matrix_scale_conversion():
+    from microimagelib_tpu.models.registration import (
+        _tmx_coarse_to_full,
+        _tmx_full_to_coarse,
+    )
+
+    m = dof_to_matrix([3.0, -2.0, 1.0, 5.0, -3.0, 2.0, 1.05, 0.95, 1.02], 9)
+    for k in (2, 4):
+        back = _tmx_full_to_coarse(_tmx_coarse_to_full(m, k), k)
+        np.testing.assert_allclose(back, m, atol=1e-5)
+        # a coarse-grid identity maps to a full-grid identity
+        ident = identity_tmx()
+        np.testing.assert_allclose(_tmx_coarse_to_full(ident, k), ident, atol=1e-6)
+
+
+def test_pyramid_coordinate_consistency():
+    """Pooled-grid sampling through the converted matrix must agree with
+    full-grid sampling through the original (on smooth data)."""
+    from microimagelib_tpu.models.registration import _mean_pool, _tmx_coarse_to_full
+
+    vol = smooth_blobs((32, 32, 32), n=10, seed=10, sigma=3.0)
+    m_c = identity_tmx()
+    m_c[3] = 1.25  # x-shift on the coarse grid
+    m_f = _tmx_coarse_to_full(m_c, 2)
+    assert abs(m_f[3] - 2.5) < 1e-5  # translation doubles for identity A
+    coarse = _mean_pool(vol, 2)
+    out_c = np.asarray(affine_transform_3d(jnp.asarray(coarse.astype(np.float32)), m_c, coarse.shape))
+    out_f = np.asarray(affine_transform_3d(jnp.asarray(vol), m_f, vol.shape))
+    pooled_full = _mean_pool(out_f, 2)
+    # interior agreement (borders differ by pooling the zero-mask band)
+    a = out_c[2:-2, 2:-2, 2:-2]
+    b = pooled_full[2:-2, 2:-2, 2:-2]
+    ncc = float(((a - a.mean()) * (b - b.mean())).sum()
+                / np.sqrt(((a - a.mean()) ** 2).sum() * ((b - b.mean()) ** 2).sum()))
+    assert ncc > 0.998
