@@ -155,8 +155,41 @@ def _register_with_cascade(a_iso, b_iso, reg_choice, aff_method, flag_tmx, tmx_i
     return reg_b, out_tmx, rec
 
 
-def spim_fusion_batch(cfg: BatchConfig):
-    """Run the batch pipeline. Returns the list of processed timepoints."""
+def _flush_group(group, otfs, mesh, cfg, emit_outputs, log_path):
+    """Deconvolve a buffered group of registered timepoints in one sharded
+    call: timepoints across the mesh 'dp' axis, volume z-extent across
+    'sp' — the embarrassing batch parallelism the reference runs serially
+    (reference:src/spim_fusion_batch.cpp:613-627)."""
+    from microimagelib_tpu.ops.basics import crop_center
+    from microimagelib_tpu.parallel.sharded import rl_decon_dual_batch_dp
+
+    t_dec = time.time()
+    n_dp = mesh.shape["dp"]
+    ts = [g[0] for g in group]
+    out_shape = group[0][3]
+    entries = list(group)
+    while len(entries) % n_dp:
+        entries.append(entries[-1])  # pad the final partial group
+    pads_a = jnp.stack([e[1] for e in entries])
+    pads_b = jnp.stack([e[2] for e in entries])
+    est = np.asarray(rl_decon_dual_batch_dp(
+        pads_a, pads_b, otfs["otf1"], otfs["otf2"], otfs["bp1"], otfs["bp2"],
+        cfg.it_num_decon, mesh))
+    for i, t in enumerate(ts):
+        d = est[i]
+        if d.shape != out_shape:
+            d = np.asarray(crop_center(jnp.asarray(d), out_shape))
+        emit_outputs(t, d)
+    _log(log_path, f"\t... Deconvolution (group of {len(ts)}) time cost: "
+                   f"{time.time() - t_dec:2.3f} s\n")
+
+
+def spim_fusion_batch(cfg: BatchConfig, mesh=None):
+    """Run the batch pipeline. Returns the list of processed timepoints.
+
+    ``mesh``: optional ('dp', 'sp') jax mesh — timepoints are deconvolved
+    in dp-sized groups with volumes z-sharded over 'sp' (registration and
+    I/O stay per-timepoint on the host)."""
     t_whole = time.time()
     paths = _make_output_tree(cfg.out_dir, cfg)
     log_path = os.path.join(cfg.out_dir, "ProcessingLog.txt")
@@ -270,6 +303,7 @@ def spim_fusion_batch(cfg: BatchConfig):
         reader_thread.start()
 
     processed = []
+    group = []
     for idx, t in enumerate(timepoints):
         t0 = time.time()
         if cfg.overlap_io:
@@ -336,6 +370,27 @@ def spim_fusion_batch(cfg: BatchConfig):
                         reg_b, cfg.bit_per_sample)
         t2 = time.time()
 
+        def emit_outputs(t_out, decon):
+            write_async(writetifstack, os.path.join(paths["decon"], f"Decon_{t_out}.tif"),
+                        decon, cfg.bit_per_sample)
+            if cfg.save_mp_z or cfg.save_mp_x or cfg.save_mp_y:
+                mps = mp2d(decon, cfg.save_mp_z, cfg.save_mp_x, cfg.save_mp_y)
+                if cfg.save_mp_z:
+                    write_async(writetifstack, os.path.join(paths["mp_xy"], f"MP_XY_{t_out}.tif"),
+                                mps["xy"], cfg.bit_per_sample)
+                if cfg.save_mp_x:
+                    write_async(writetifstack, os.path.join(paths["mp_yz"], f"MP_YZ_{t_out}.tif"),
+                                mps["yz"], cfg.bit_per_sample)
+                if cfg.save_mp_y:
+                    write_async(writetifstack, os.path.join(paths["mp_zx"], f"MP_ZX_{t_out}.tif"),
+                                mps["zx"], cfg.bit_per_sample)
+            if cfg.save_3d_x:
+                write_async(writetifstack, os.path.join(paths["mp3d_x"], f"MP_3D_Xaxis_{t_out}.tif"),
+                            mip3d(decon, 1, 36), cfg.bit_per_sample)
+            if cfg.save_3d_y:
+                write_async(writetifstack, os.path.join(paths["mp3d_y"], f"MP_3D_Yaxis_{t_out}.tif"),
+                            mip3d(decon, 2, 36), cfg.bit_per_sample)
+
         # --- joint deconvolution (precomputed OTFs, reused every timepoint) ---
         _log(log_path, "... Deconvolution...\n")
         t_dec = time.time()
@@ -343,36 +398,28 @@ def spim_fusion_batch(cfg: BatchConfig):
         otfs = get_otfs(grid)
         pad_a = _prep_pad(jnp.asarray(a_iso, jnp.float32), grid)
         pad_b = _prep_pad(jnp.asarray(reg_b, jnp.float32), grid)
-        decon = np.asarray(decon_dualview_prepared(
-            pad_a, pad_b, otfs["otf1"], otfs["otf2"], otfs["bp1"], otfs["bp2"],
-            cfg.it_num_decon, False, (sz, sy, sx)))
-        _log(log_path, f"\t... Deconvolution time cost: {time.time() - t_dec:2.3f} s\n")
-        write_async(writetifstack, os.path.join(paths["decon"], f"Decon_{t}.tif"),
-                    decon, cfg.bit_per_sample)
-
-        # --- MIP outputs ---
-        if cfg.save_mp_z or cfg.save_mp_x or cfg.save_mp_y:
-            mps = mp2d(decon, cfg.save_mp_z, cfg.save_mp_x, cfg.save_mp_y)
-            if cfg.save_mp_z:
-                write_async(writetifstack, os.path.join(paths["mp_xy"], f"MP_XY_{t}.tif"),
-                            mps["xy"], cfg.bit_per_sample)
-            if cfg.save_mp_x:
-                write_async(writetifstack, os.path.join(paths["mp_yz"], f"MP_YZ_{t}.tif"),
-                            mps["yz"], cfg.bit_per_sample)
-            if cfg.save_mp_y:
-                write_async(writetifstack, os.path.join(paths["mp_zx"], f"MP_ZX_{t}.tif"),
-                            mps["zx"], cfg.bit_per_sample)
-        if cfg.save_3d_x:
-            write_async(writetifstack, os.path.join(paths["mp3d_x"], f"MP_3D_Xaxis_{t}.tif"),
-                        mip3d(decon, 1, 36), cfg.bit_per_sample)
-        if cfg.save_3d_y:
-            write_async(writetifstack, os.path.join(paths["mp3d_y"], f"MP_3D_Yaxis_{t}.tif"),
-                        mip3d(decon, 2, 36), cfg.bit_per_sample)
+        if mesh is not None:
+            # mesh mode: buffer registered pairs, decon a dp-sized group in
+            # one sharded call (timepoints across 'dp', volumes across 'sp')
+            group.append((t, pad_a, pad_b, (sz, sy, sx)))
+            if len(group) == mesh.shape["dp"]:
+                _flush_group(group, otfs, mesh, cfg, emit_outputs, log_path)
+                group.clear()
+        else:
+            decon = np.asarray(decon_dualview_prepared(
+                pad_a, pad_b, otfs["otf1"], otfs["otf2"], otfs["bp1"], otfs["bp2"],
+                cfg.it_num_decon, False, (sz, sy, sx)))
+            _log(log_path, f"\t... Deconvolution time cost: {time.time() - t_dec:2.3f} s\n")
+            emit_outputs(t, decon)
 
         processed.append(t)
         _log(log_path, f"...Time cost for current image is {time.time() - t0:2.3f} s\n")
         if cfg.verbose:
             print(f"...Time cost for current image is {time.time() - t0:2.3f} s")
+
+    if mesh is not None and group:
+        _flush_group(group, otf_state, mesh, cfg, emit_outputs, log_path)
+        group.clear()
 
     # drain writers
     if writer_pool is not None:

@@ -175,3 +175,34 @@ def test_find_color_folders(tmp_path):
         os.makedirs(tmp_path / c / "SPIMB")
     os.makedirs(tmp_path / "misc")
     assert find_color_folders(str(tmp_path)) == ["488", "561"]
+
+
+def test_spim_fusion_batch_on_mesh(tmp_path):
+    from microimagelib_tpu.parallel.mesh import make_mesh
+
+    in1, in2 = _write_batch_inputs(tmp_path, n_t=3)
+    # single-device reference run
+    out_ref = tmp_path / "out_ref"
+    cfg = BatchConfig(
+        out_dir=str(out_ref), in_dir1=str(in1), in_dir2=str(in2),
+        name1="SPIMA_", name2="SPIMB_",
+        img_start=0, img_end=2, img_interval=1, img_test=0,
+        pixel1=(1.0, 1.0, 1.0), pixel2=(1.0, 1.0, 1.0),
+        reg_mode=1, im_rotation=0, flag_initial_tmx=0, tmx_file="",
+        ftol=1e-4, it_limit=300, save_reg_a=False, save_reg_b=False,
+        psf1_file=str(tmp_path / "psf1.tif"), psf2_file=str(tmp_path / "psf2.tif"),
+        it_num_decon=3, save_mp_z=False, save_mp_y=False, save_mp_x=False,
+        save_3d_x=False, save_3d_y=False, bit_per_sample=32,
+        query_device=False, device_num=0, verbose=False, overlap_io=False)
+    spim_fusion_batch(cfg)
+
+    import dataclasses
+    out_mesh = tmp_path / "out_mesh"
+    cfg2 = dataclasses.replace(cfg, out_dir=str(out_mesh))
+    mesh = make_mesh(n_sp=2, n_dp=2)
+    done = spim_fusion_batch(cfg2, mesh=mesh)
+    assert done == [0, 1, 2]
+    for t in range(3):
+        ref, _ = readtifstack(str(out_ref / "Decon" / f"Decon_{t}.tif"))
+        got, _ = readtifstack(str(out_mesh / "Decon" / f"Decon_{t}.tif"))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-3)
