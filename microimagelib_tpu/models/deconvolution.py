@@ -155,6 +155,10 @@ def decon_singleview(img, psf, n_iters=20, const_initial=False, psf_bp=None,
     for API parity; on TPU there is a single HBM-resident path (use
     microimagelib_tpu.parallel for volumes beyond one chip)."""
     t0 = time.time()
+    from microimagelib_tpu.utils.device import free_memory_mb
+
+    if records is not None:
+        records[1] = free_memory_mb(device)
     img = jnp.asarray(img, dtype=jnp.float32)
     psf = jnp.asarray(psf, dtype=jnp.float32)
     if device is not None:
@@ -184,6 +188,7 @@ def decon_singleview(img, psf, n_iters=20, const_initial=False, psf_bp=None,
     t3 = time.time()
     if records is not None:
         records[0] = 1
+        records[5] = free_memory_mb(device)
         records[6] = t1 - t0
         records[7] = t2 - t1
         records[8] = t3 - t2
@@ -200,6 +205,10 @@ def decon_dualview(img_a, img_b, psf_a, psf_b, n_iters=10, const_initial=False,
     Unmatched back projectors apply only when BOTH are provided, matching
     the reference's single ``flagUnmatch``."""
     t0 = time.time()
+    from microimagelib_tpu.utils.device import free_memory_mb
+
+    if records is not None:
+        records[1] = free_memory_mb(device)
     img_a = jnp.asarray(img_a, dtype=jnp.float32)
     img_b = jnp.asarray(img_b, dtype=jnp.float32)
     if img_a.shape != img_b.shape:
@@ -230,6 +239,7 @@ def decon_dualview(img_a, img_b, psf_a, psf_b, n_iters=10, const_initial=False,
     t3 = time.time()
     if records is not None:
         records[0] = 1
+        records[5] = free_memory_mb(device)
         records[6] = t1 - t0
         records[7] = t2 - t1
         records[8] = t3 - t2

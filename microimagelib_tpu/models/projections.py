@@ -85,3 +85,23 @@ def mp3d(img, x_axis=True, y_axis=True, project_num=36):
     if y_axis:
         out["y"] = mip3d(img, 2, project_num)
     return out
+
+
+def mp2d_packed(img, z_proj=True, x_proj=True, y_proj=True):
+    """Packed single-buffer variant matching the reference API exactly:
+    one flat array of [XY panel | YZ panel | ZX panel] plus the 6-element
+    size vector (sx, sy, sy, sz, sz, sx) (``mp2dgpu``,
+    reference:src/apifunc.cpp:485-505). Panels not requested stay zero,
+    as the reference leaves them unwritten in its zeroed buffer."""
+    img = jnp.asarray(img, jnp.float32)
+    sz, sy, sx = img.shape
+    buf = np.zeros(sx * sy + sy * sz + sz * sx, dtype=np.float32)
+    mps = mp2d(img, z_proj, x_proj, y_proj)
+    if z_proj:
+        buf[: sx * sy] = np.asarray(mps["xy"]).ravel()
+    if x_proj:
+        buf[sx * sy : sx * sy + sy * sz] = np.asarray(mps["yz"]).ravel()
+    if y_proj:
+        buf[sx * sy + sy * sz :] = np.asarray(mps["zx"]).ravel()
+    size_mp = np.array([sx, sy, sy, sz, sz, sx], dtype=np.uint32)
+    return buf, size_mp

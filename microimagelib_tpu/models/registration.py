@@ -427,8 +427,10 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
         raise ValueError("SD of image 1 is zero, empty image input")
 
     # --- cost closure: one fused device call per evaluation ---
+    from microimagelib_tpu.ops.affine_fast import corr3d_auto
+
     def cost_from_matrix(m12):
-        ss, st = corr3d_partials(src_ms, tgt_ms, np.asarray(m12, np.float32))
+        ss, st = corr3d_auto(src_ms, tgt_ms, np.asarray(m12, np.float32))
         ssf = math.sqrt(float(ss))
         if ssf == 0:
             return 2.0

@@ -16,7 +16,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from microimagelib_tpu.ops.affine import _out_coords, _trilerp_flat
 from microimagelib_tpu.ops.powell_device import powell_device
 
 
@@ -91,14 +90,13 @@ def matrix_to_params_jnp(m):
 # ---------------------------------------------------------------------------
 
 def _make_cost(src_ms, tgt_ms, sd_t):
-    """NCC cost of a 12-vector matrix against preprocessed volumes."""
-    shape = tgt_ms.shape
+    """NCC cost of a 12-vector matrix against preprocessed volumes,
+    through the configured resample implementation (MXU one-hot matmuls
+    by default, per-voxel gathers with MIL_NCC_IMPL=gather)."""
+    from microimagelib_tpu.ops.affine_fast import corr3d_auto
 
     def cost_m(m12):
-        cx, cy, cz = _out_coords(shape, m12)
-        s = _trilerp_flat(src_ms, cx, cy, cz, strict_lo=True)
-        ss = jnp.sum(s * s)
-        st = jnp.sum(s * tgt_ms)
+        ss, st = corr3d_auto(src_ms, tgt_ms, m12)
         ssf = jnp.sqrt(ss)
         ncc = jnp.where(ssf == 0, jnp.float32(-2.0), (st / ssf) / sd_t)
         return -ncc

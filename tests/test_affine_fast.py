@@ -1,0 +1,60 @@
+"""MXU-path NCC must be numerically identical to the gather path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from microimagelib_tpu.ops.affine import corr3d_partials
+from microimagelib_tpu.ops.affine_fast import corr3d_partials_mxu
+from microimagelib_tpu.ops.matrix import dof_to_matrix, identity_tmx
+
+
+def vols(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.random(shape).astype(np.float32)),
+            jnp.asarray(rng.random(shape).astype(np.float32)))
+
+
+def check(m, shape=(24, 28, 32), seed=0, rtol=2e-4):
+    src, tgt = vols(shape, seed)
+    ss_g, st_g = corr3d_partials(src, tgt, m)
+    ss_f, st_f = corr3d_partials_mxu(src, tgt, m)
+    np.testing.assert_allclose(float(ss_f), float(ss_g), rtol=rtol)
+    np.testing.assert_allclose(float(st_f), float(st_g), rtol=rtol)
+
+
+def test_identity():
+    check(identity_tmx())
+
+
+def test_translation_fractional():
+    m = identity_tmx()
+    m[3], m[7], m[11] = 1.3, -2.7, 0.4
+    check(m)
+
+
+def test_small_rotation_scale():
+    m = dof_to_matrix([1.0, -0.5, 0.8, 3.0, -2.0, 4.0, 1.05, 0.97, 1.02], 9)
+    check(m)
+
+
+def test_negative_translation_boundary():
+    m = identity_tmx()
+    m[3] = -0.4  # hits the clamp band at the low-x edge
+    check(m)
+
+
+def test_out_of_bounds_regions():
+    m = identity_tmx()
+    m[3] = 20.0  # much of the volume maps outside
+    check(m)
+
+
+def test_fallback_on_large_rotation():
+    # 40-degree rotation: per-row footprint exceeds the box -> gather path
+    m = dof_to_matrix([0, 0, 0, 40.0, 0, 0, 1, 1, 1], 6)
+    check(m)
+
+
+def test_anisotropic_shape():
+    m = dof_to_matrix([0.5, 1.0, -1.0, 2.0, 1.0, -2.0, 1.0, 1.0, 1.0], 6)
+    check(m, shape=(10, 40, 56), seed=3)
