@@ -14,7 +14,7 @@ from microimagelib_tpu.models.registration import (
     zncc,
 )
 from microimagelib_tpu.models.fusion import fusion_dualview, imoperation3d, imresize3d
-from microimagelib_tpu.models.projections import mip3d, mp2d, mp3d
+from microimagelib_tpu.models.projections import mip3d, mp2d, mp2d_packed, mp3d
 from microimagelib_tpu.models.batch import BatchConfig, spim_fusion_batch
 from microimagelib_tpu.models.backprojector import gen_backprojector
 
@@ -35,6 +35,7 @@ __all__ = [
     "imresize3d",
     "mip3d",
     "mp2d",
+    "mp2d_packed",
     "mp3d",
     "BatchConfig",
     "spim_fusion_batch",

@@ -206,3 +206,21 @@ def test_spim_fusion_batch_on_mesh(tmp_path):
         ref, _ = readtifstack(str(out_ref / "Decon" / f"Decon_{t}.tif"))
         got, _ = readtifstack(str(out_mesh / "Decon" / f"Decon_{t}.tif"))
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-3)
+
+
+def test_mp2d_packed_layout(rng):
+    from microimagelib_tpu.models.projections import mp2d_packed
+
+    vol = rng.random((4, 5, 6)).astype(np.float32)
+    buf, size_mp = mp2d_packed(vol)
+    sx, sy, sz = 6, 5, 4
+    np.testing.assert_array_equal(size_mp, [sx, sy, sy, sz, sz, sx])
+    assert buf.shape == (sx * sy + sy * sz + sz * sx,)
+    np.testing.assert_allclose(buf[: sx * sy].reshape(sy, sx), np.maximum(vol.max(0), 0))
+    np.testing.assert_allclose(buf[sx * sy : sx * sy + sy * sz].reshape(sz, sy),
+                               np.maximum(vol.max(2), 0))
+    np.testing.assert_allclose(buf[sx * sy + sy * sz :].reshape(sx, sz),
+                               np.maximum(vol.max(1).T, 0))
+    # unselected panels stay zero
+    buf2, _ = mp2d_packed(vol, z_proj=True, x_proj=False, y_proj=False)
+    assert np.all(buf2[sx * sy :] == 0)
