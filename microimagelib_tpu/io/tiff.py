@@ -250,6 +250,11 @@ def _build_classic_tiff_pages(pages_bytes, width, height, bits, samplefmt):
     """Assemble a classic little-endian multi-page TIFF with one strip per
     page. Returns the file contents as bytes."""
     n_pages = len(pages_bytes)
+    total = sum(len(p) for p in pages_bytes) + 8 + n_pages * 200
+    if total >= 2**32:
+        raise TiffError(
+            "Stack exceeds the 4 GB classic-TIFF offset limit; split the "
+            "stack or write 16-bit")
     # Per-page layout: [pixel data][IFD]; header first.
     header = struct.pack("<2sHI", b"II", 42, 0)  # IFD offset patched later
     chunks = [bytearray(header)]

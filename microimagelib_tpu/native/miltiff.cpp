@@ -297,6 +297,13 @@ PyObject* py_write_stack(PyObject*, PyObject* args) {
     PyErr_SetString(PyExc_ValueError, "buffer too small");
     return nullptr;
   }
+  // classic-TIFF offsets are 32-bit; refuse rather than wrap silently
+  if ((uint64_t)n_pages * page_px * (bits / 8) + 8 + (uint64_t)n_pages * 200 >= (1ull << 32)) {
+    PyBuffer_Release(&view);
+    PyErr_SetString(PyExc_ValueError,
+                    "Stack exceeds the 4 GB classic-TIFF offset limit");
+    return nullptr;
+  }
   TiffWriteCtx c;
   c.width = width;
   c.height = height;

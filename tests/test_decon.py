@@ -156,3 +156,70 @@ def test_const_initial_runs():
     out = decon_singleview(img, psf, n_iters=3, const_initial=True)
     oracle = np_rl_single(np.maximum(img, SMALLVALUE), psf, 3, const_initial=True)
     np.testing.assert_allclose(out, oracle, rtol=5e-3, atol=5e-3)
+
+
+def np_rl_dual(img_a, img_b, psf_a, psf_b, n_iters):
+    """NumPy oracle for the dual-view loop (A then B per iteration,
+    reference:src/api_subfunc.cu:3634-3660)."""
+    shape = img_a.shape
+
+    def otf_of(p):
+        pad = np.zeros(shape, dtype=np.float64)
+        pz, py, px = p.shape
+        pad[:pz, :py, :px] = p / p.sum()
+        pad = np.roll(pad, (-(pz // 2), -(py // 2), -(px // 2)), axis=(0, 1, 2))
+        return np.fft.rfftn(pad)
+
+    otf_a, otf_b = otf_of(psf_a), otf_of(psf_b)
+    bp_a, bp_b = otf_of(psf_a[::-1, ::-1, ::-1]), otf_of(psf_b[::-1, ::-1, ::-1])
+    a = np.maximum(img_a.astype(np.float64), SMALLVALUE)
+    b = np.maximum(img_b.astype(np.float64), SMALLVALUE)
+    est = (a + b) * 0.5
+
+    def half(est, img, otf, bp):
+        fwd = np.fft.irfftn(np.fft.rfftn(est) * otf, s=shape)
+        upd = np.fft.irfftn(np.fft.rfftn(img / fwd) * bp, s=shape)
+        return np.maximum(est * upd, SMALLVALUE)
+
+    for _ in range(n_iters):
+        est = half(est, a, otf_a, bp_a)
+        est = half(est, b, otf_b, bp_b)
+    return est
+
+
+def test_rl_dual_matches_numpy_oracle():
+    shape = (16, 16, 16)
+    truth = beads_volume(shape, n=5, seed=7)
+    psf_a = gaussian_psf((7, 7, 7), 1.2)
+    psf_b = np.transpose(psf_a, (2, 1, 0)).copy()
+
+    def blur(t, p):
+        pad = np.zeros(shape)
+        pad[:7, :7, :7] = p
+        pad = np.roll(pad, (-3, -3, -3), axis=(0, 1, 2))
+        return np.fft.irfftn(np.fft.rfftn(t) * np.fft.rfftn(pad), s=shape, axes=(0, 1, 2)).astype(np.float32)
+
+    img_a, img_b = blur(truth, psf_a), blur(truth, psf_b)
+    otf_a = gen_otf(jnp.asarray(psf_a), shape)
+    otf_b = gen_otf(jnp.asarray(psf_b), shape)
+    bp_a = gen_otf(jnp.asarray(psf_a[::-1, ::-1, ::-1]), shape)
+    bp_b = gen_otf(jnp.asarray(psf_b[::-1, ::-1, ::-1]), shape)
+    est = np.asarray(rl_decon_dual(jnp.asarray(img_a), jnp.asarray(img_b),
+                                   otf_a, otf_b, bp_a, bp_b, 6))
+    oracle = np_rl_dual(img_a, img_b, psf_a, psf_b, 6)
+    np.testing.assert_allclose(est, oracle, rtol=3e-3, atol=3e-3)
+
+
+def test_classic_tiff_4gb_guard():
+    from microimagelib_tpu.io.tiff import TiffError, _build_classic_tiff_pages
+
+    # fake page list exceeding 4 GB without allocating it
+    class FakeBytes:
+        def __len__(self):
+            return 2**31
+
+    try:
+        _build_classic_tiff_pages([FakeBytes(), FakeBytes()], 1, 1, 32, 3)
+        assert False, "expected TiffError"
+    except TiffError as e:
+        assert "4 GB" in str(e)
