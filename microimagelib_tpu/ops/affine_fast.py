@@ -142,12 +142,28 @@ def corr3d_partials_mxu(src, tgt, tmx, box_k=DEFAULT_K):
 
 
 def corr3d_auto(src, tgt, tmx):
-    """NCC partials through the configured implementation:
-    MIL_NCC_IMPL=mxu (default) | gather. The MXU path is ~3x faster on
-    TPU for registration-sized matrices and numerically equivalent
-    (f32 summation order differs at the 1e-5 level)."""
+    """NCC partials through the configured implementation
+    (MIL_NCC_IMPL = pallas | mxu | gather | auto, default auto):
+
+      gather — 8 XLA gathers/voxel (exact reference formulation; ~202 ms
+               per 128^3 evaluation on TPU v5e)
+      mxu    — one-hot-matmul formulation in XLA (~83 ms)
+      pallas — hand-scheduled kernel, block DMA + tight per-row windows
+               (~63 ms); TPU only
+      auto   — pallas on TPU backends, mxu elsewhere
+
+    All are numerically equivalent (f32 summation order, ~1e-5)."""
     import os
 
-    if os.environ.get("MIL_NCC_IMPL", "mxu") == "gather":
+    import jax
+
+    impl = os.environ.get("MIL_NCC_IMPL", "auto")
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "mxu"
+    if impl == "gather":
         return _corr_gather(src, tgt, tmx)
+    if impl == "pallas":
+        from microimagelib_tpu.ops.pallas_corr import corr3d_partials_pallas
+
+        return corr3d_partials_pallas(src, tgt, tmx)
     return corr3d_partials_mxu(src, tgt, tmx)

@@ -58,3 +58,16 @@ def test_fallback_on_large_rotation():
 def test_anisotropic_shape():
     m = dof_to_matrix([0.5, 1.0, -1.0, 2.0, 1.0, -2.0, 1.0, 1.0, 1.0], 6)
     check(m, shape=(10, 40, 56), seed=3)
+
+
+def test_pallas_interpret_matches_gather():
+    from microimagelib_tpu.ops.pallas_corr import corr3d_partials_pallas
+
+    src, tgt = vols((16, 16, 32), seed=5)
+    for m in (identity_tmx(),
+              dof_to_matrix([1.5, -0.5, 0.8, 3.0, -2.0, 4.0, 1.05, 0.97, 1.02], 9),
+              dof_to_matrix([0, 0, 0, 40.0, 0, 0, 1, 1, 1], 6)):
+        ss_g, st_g = corr3d_partials(src, tgt, m)
+        ss_p, st_p = corr3d_partials_pallas(src, tgt, m, interpret=True)
+        np.testing.assert_allclose(float(ss_p), float(ss_g), rtol=2e-4)
+        np.testing.assert_allclose(float(st_p), float(st_g), rtol=2e-4)
