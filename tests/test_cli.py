@@ -177,3 +177,39 @@ def test_spim_fusion_batch_cli_multicolor(tmp_path):
     for c in ("488", "561"):
         assert (tmp_path / "out" / c / "Decon" / "Decon_0.tif").exists()
         assert (tmp_path / "out" / c / "Decon" / "Decon_1.tif").exists()
+
+
+def test_u16_input_journey(tmp_path):
+    """16-bit input TIFF (the dominant microscopy format) through decon to
+    16-bit output, via the CLI surface."""
+    from microimagelib_tpu.cli.decon_sv import main
+    from microimagelib_tpu.io.tiff import gettifinfo, readtifstack
+
+    img = (blobs((16, 16, 16), n=5, seed=6) * 50 + 100).astype(np.float32)
+    psf = gaussian_psf((5, 5, 5), 1.0)
+    writetifstack(str(tmp_path / "i16.tif"), img, 16)  # u16 on disk
+    _, bits = gettifinfo(str(tmp_path / "i16.tif"))
+    assert bits == 16
+    writetifstack(str(tmp_path / "p.tif"), psf, 32)
+    rc = main(["-i", str(tmp_path / "i16.tif"), "-fp", str(tmp_path / "p.tif"),
+               "-o", str(tmp_path / "o16.tif"), "-it", "3", "-verbOFF"])
+    assert rc == 0
+    # output bit depth defaults to the input's (16)
+    _, bits_out = gettifinfo(str(tmp_path / "o16.tif"))
+    assert bits_out == 16
+    out, _ = readtifstack(str(tmp_path / "o16.tif"))
+    assert out.max() > 0
+
+
+def test_gen_bp_cli(tmp_path):
+    from microimagelib_tpu.cli.gen_bp import main
+    from microimagelib_tpu.io.tiff import readtifstack
+
+    psf = gaussian_psf((7, 7, 7), 1.3)
+    writetifstack(str(tmp_path / "p.tif"), psf, 32)
+    rc = main(["-fp", str(tmp_path / "p.tif"), "-o", str(tmp_path / "bp.tif"),
+               "-method", "wiener-butterworth", "-alpha", "0.01", "-beta", "0.1", "-n", "8"])
+    assert rc == 0
+    bp, size = readtifstack(str(tmp_path / "bp.tif"))
+    assert bp.shape == psf.shape
+    assert abs(bp.sum() - 1.0) < 0.1
