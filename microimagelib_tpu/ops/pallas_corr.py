@@ -183,10 +183,13 @@ def corr3d_partials_pallas(src, tgt, tmx, interpret=False):
     """Fused resample + NCC partials as a Pallas kernel, with gather
     fallback for matrices whose footprint exceeds the box."""
     sz, sy, sx = src.shape
-    if (sz * sy) % ROWS_PER_STEP:
-        # pad target/source row count handled by caller constraints; fall
-        # back outright for odd shapes (registration grids are even)
-        return _corr_gather(src, tgt, tmx)
+    if (sz * sy) % ROWS_PER_STEP or sx % 128:
+        # Mosaic requires the lane (minor) dimension of HBM slices to be a
+        # multiple of 128; odd row counts are also unsupported. Fall back
+        # to the XLA one-hot formulation for such shapes.
+        from microimagelib_tpu.ops.affine_fast import corr3d_partials_mxu
+
+        return corr3d_partials_mxu(src, tgt, tmx)
     tmx = jnp.asarray(tmx, jnp.float32)
     m16 = jnp.zeros((1, 16), jnp.float32).at[0, :12].set(tmx)
     tgt2d = tgt.reshape(sz * sy, sx)
