@@ -94,12 +94,22 @@ def main(argv=None):
     )
     if cfg.query_device:
         query_device(verbose=True)
+    # MIL_MESH="n_dp,n_sp" runs the deconvolution stage data-parallel over a
+    # device mesh (framework extension; the reference is single-GPU)
+    mesh = None
+    import os
+    mesh_env = os.environ.get("MIL_MESH")
+    if mesh_env:
+        from microimagelib_tpu.parallel.mesh import make_mesh
+
+        n_dp, n_sp = (int(v) for v in mesh_env.split(","))
+        mesh = make_mesh(n_sp=n_sp, n_dp=n_dp)
     if multicolor:
         results = spim_fusion_batch_multicolor(a[2], a[0], cfg)
         total = sum(len(v) for v in results.values())
         print(f"Processed {total} timepoint(s) across {len(results)} color(s)")
     else:
-        processed = spim_fusion_batch(cfg)
+        processed = spim_fusion_batch(cfg, mesh=mesh)
         print(f"Processed {len(processed)} timepoint(s)")
     return 0
 

@@ -213,3 +213,28 @@ def test_gen_bp_cli(tmp_path):
     bp, size = readtifstack(str(tmp_path / "bp.tif"))
     assert bp.shape == psf.shape
     assert abs(bp.sum() - 1.0) < 0.1
+
+
+def test_spim_fusion_batch_cli_mesh(tmp_path, monkeypatch):
+    from microimagelib_tpu.cli.spim_fusion_batch import main
+
+    psf = gaussian_psf((5, 5, 5), 1.0)
+    (tmp_path / "A").mkdir()
+    (tmp_path / "B").mkdir()
+    for t in range(2):
+        vol = blobs((16, 16, 16), n=5, seed=40 + t)
+        writetifstack(str(tmp_path / "A" / f"a_{t}.tif"), vol, 32)
+        writetifstack(str(tmp_path / "B" / f"b_{t}.tif"), np.roll(vol, 1, axis=2), 32)
+    writetifstack(str(tmp_path / "p.tif"), psf, 32)
+    monkeypatch.setenv("MIL_MESH", "2,2")
+    args = [
+        str(tmp_path / "out"), str(tmp_path / "A"), str(tmp_path / "B"),
+        "a_", "b_", "0", "1", "1", "0",
+        "1", "1", "1", "1", "1", "1",
+        "3", "0", "0", "none", "0.0001", "150",
+        "0", "0", str(tmp_path / "p.tif"), str(tmp_path / "p.tif"), "2",
+        "0", "0", "0", "0", "0", "32", "0", "0",
+    ]
+    assert main(args) == 0
+    assert (tmp_path / "out" / "Decon" / "Decon_0.tif").exists()
+    assert (tmp_path / "out" / "Decon" / "Decon_1.tif").exists()
