@@ -33,6 +33,7 @@ _T_LENGTH = 257
 _T_BITSPERSAMPLE = 258
 _T_COMPRESSION = 259
 _T_PHOTOMETRIC = 262
+_T_DESCRIPTION = 270
 _T_STRIPOFFSETS = 273
 _T_ORIENTATION = 274
 _T_SAMPLESPERPIXEL = 277
@@ -87,9 +88,13 @@ def _read_ifd_entries(mm, off, bo, big):
             vpos = voff_pos
         else:
             (vpos,) = struct.unpack_from(bo + ("Q" if big else "I"), mm, voff_pos)
+        if typ == 2:  # ASCII — keep ImageDescription for ImageJ stacks
+            if tag == _T_DESCRIPTION:
+                tags[tag] = bytes(mm[vpos : vpos + n]).rstrip(b"\x00").decode("latin1", "replace")
+            continue
         fmt = _TYPE_FMT.get(typ)
         if fmt is None:
-            continue  # ignore rationals/ASCII etc. — not needed
+            continue  # ignore rationals etc. — not needed
         vals = list(struct.unpack_from(bo + str(n) + fmt, mm, vpos))
         tags[tag] = vals
     next_off_pos = off + count * entry_sz
@@ -135,22 +140,45 @@ def _iter_ifds(mm, bo, big, first):
         off = off_next
 
 
+def _imagej_n_images(tags):
+    """ImageJ writes large stacks with ONE IFD and a contiguous pixel block,
+    recording the true slice count as 'images=N' in ImageDescription."""
+    desc = tags.get(_T_DESCRIPTION)
+    if not isinstance(desc, str) or not desc.startswith("ImageJ"):
+        return None
+    import re
+
+    m = re.search(r"images=(\d+)", desc)
+    if m:
+        n = int(m.group(1))
+        if n > 1:
+            return n
+    return None
+
+
 def gettifinfo(path):
     """Return ``(size, bit_per_sample)`` with size = (width, height, n_slices).
 
-    Mirrors reference:src/apifunc.cpp:116-136 (gettifinfo)."""
+    Mirrors reference:src/apifunc.cpp:116-136 (gettifinfo). ImageJ
+    contiguous hyperstacks (one IFD + images=N) report their true depth."""
     mm, bo, big, first = _open_tiff(path)
     try:
         width = height = bits = None
         n = 0
+        first_tags = None
         for tags in _iter_ifds(mm, bo, big, first):
             if n == 0:
+                first_tags = tags
                 width = tags[_T_WIDTH][0]
                 height = tags[_T_LENGTH][0]
                 bits = tags.get(_T_BITSPERSAMPLE, [1])[0]
             n += 1
         if n == 0:
             raise TiffError(f"No images found in TIFF: {path}")
+        if n == 1:
+            ij = _imagej_n_images(first_tags)
+            if ij:
+                n = ij
         return (int(width), int(height), n), int(bits)
     finally:
         mm.close()
@@ -207,14 +235,44 @@ def readtifstack(path, dtype=np.float32):
             pass  # unsupported layout for the native codec; fall through
     mm, bo, big, first = _open_tiff(path)
     try:
-        pages = [_page_array(mm, bo, tags, path) for tags in _iter_ifds(mm, bo, big, first)]
-        if not pages:
+        all_tags = list(_iter_ifds(mm, bo, big, first))
+        if not all_tags:
             raise TiffError(f"No images found in TIFF: {path}")
+        if len(all_tags) == 1:
+            ij_n = _imagej_n_images(all_tags[0])
+            if ij_n:
+                return _read_imagej_contiguous(mm, bo, all_tags[0], ij_n, dtype, path)
+        pages = [_page_array(mm, bo, tags, path) for tags in all_tags]
         stack = np.stack([np.asarray(p, dtype=dtype) for p in pages], axis=0)
         h, w = pages[0].shape
         return stack, (w, h, len(pages))
     finally:
         mm.close()
+
+
+def _read_imagej_contiguous(mm, bo, tags, n_images, dtype, path):
+    """Read an ImageJ contiguous stack: pixel data for all slices follows
+    the first slice's strip with no further IFDs."""
+    width = tags[_T_WIDTH][0]
+    height = tags[_T_LENGTH][0]
+    bits = tags.get(_T_BITSPERSAMPLE, [1])[0]
+    comp = tags.get(_T_COMPRESSION, [1])[0]
+    sfmt = tags.get(_T_SAMPLEFORMAT, [1])[0]
+    if comp != 1:
+        raise TiffError(f"Only uncompressed TIFF supported (compression={comp}): {path}")
+    if bits == 16:
+        dt = np.dtype(bo + "u2")
+    elif bits == 32:
+        dt = np.dtype(bo + ("f4" if sfmt == 3 else "u4"))
+    elif bits == 8:
+        dt = np.dtype(bo + "u1")
+    else:
+        raise TiffError(f"Unsupported bit depth {bits}: {path}")
+    offset = tags[_T_STRIPOFFSETS][0]
+    count = width * height * n_images
+    buf = np.frombuffer(mm, dtype=dt, count=count, offset=offset)
+    stack = np.asarray(buf.reshape(n_images, height, width), dtype=dtype).copy()
+    return stack, (int(width), int(height), int(n_images))
 
 
 def readtifstack_16to16(path):

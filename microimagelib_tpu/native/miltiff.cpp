@@ -78,6 +78,7 @@ bool parse_tiff(const Reader& r, TiffInfo* info, std::string* err) {
     uint64_t entry_sz = big ? 20 : 12;
     uint32_t width = 0, height = 0;
     uint16_t bits = 1, comp = 1, spp = 1, sfmt = 1;
+    bool imagej_contig = false;
     std::vector<uint64_t> strip_offs, strip_counts;
     for (uint64_t i = 0; i < count; ++i) {
       uint64_t e = entry0 + i * entry_sz;
@@ -108,6 +109,15 @@ bool parse_tiff(const Reader& r, TiffInfo* info, std::string* err) {
           default: return r.at<uint32_t>(off);
         }
       };
+      if (tag == 270 && typ == 2) {  // ImageDescription: detect ImageJ
+        uint64_t dlen = std::min<uint64_t>(n, 4096);
+        if (data_pos + dlen <= r.n) {
+          std::string d(reinterpret_cast<const char*>(r.p + data_pos), dlen);
+          if (d.find("ImageJ") != std::string::npos &&
+              d.find("images=") != std::string::npos)
+            imagej_contig = true;
+        }
+      }
       switch (tag) {
         case 256: width = (uint32_t)read_val(0); break;
         case 257: height = (uint32_t)read_val(0); break;
@@ -125,6 +135,12 @@ bool parse_tiff(const Reader& r, TiffInfo* info, std::string* err) {
           break;
         default: break;
       }
+    }
+    if (imagej_contig) {
+      // ImageJ contiguous hyperstack: one IFD, true depth in the
+      // description — the Python codec handles this layout
+      *err = "ImageJ contiguous stack: deferring to the Python codec";
+      return false;
     }
     if (comp != 1) { *err = "compressed TIFF not supported natively"; return false; }
     if (spp != 1) { *err = "multi-sample TIFF not supported natively"; return false; }

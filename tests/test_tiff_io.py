@@ -75,3 +75,48 @@ def test_tmx_roundtrip(tmp_path):
     vals = [float(v) for v in open(p).read().split()]
     assert len(vals) == 16
     assert vals[12:] == [0.0, 0.0, 0.0, 1.0]
+
+
+def _write_imagej_contiguous(path, stack):
+    """Emit an ImageJ-style contiguous stack: ONE IFD describing the first
+    slice, pixel data for all slices contiguous, images=N in the
+    description."""
+    import struct
+
+    z, h, w = stack.shape
+    data = np.ascontiguousarray(stack, dtype="<u2").tobytes()
+    desc = f"ImageJ=1.53t\nimages={z}\nslices={z}\nloop=false\x00".encode()
+    # header(8) + IFD + desc + data
+    n_entries = 9
+    ifd_off = 8
+    ifd_len = 2 + n_entries * 12 + 4
+    desc_off = ifd_off + ifd_len
+    data_off = desc_off + len(desc)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 16), (259, 3, 1, 1),
+        (262, 3, 1, 1), (270, 2, len(desc), desc_off),
+        (273, 4, 1, data_off), (278, 3, 1, h), (279, 4, 1, w * h * 2),
+    ]
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += struct.pack("<H", n_entries)
+    for tag, typ, cnt, val in entries:
+        if typ == 3 and cnt == 1:
+            out += struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += desc
+    out += data
+    open(path, "wb").write(bytes(out))
+
+
+def test_imagej_contiguous_hyperstack(tmp_path, rng):
+    stack = rng.integers(0, 60000, size=(5, 7, 9)).astype(np.uint16)
+    p = str(tmp_path / "ij.tif")
+    _write_imagej_contiguous(p, stack)
+    size, bits = gettifinfo(p)
+    assert size == (9, 7, 5)  # true depth from images=N, not the single IFD
+    assert bits == 16
+    back, size2 = readtifstack(p)
+    assert size2 == (9, 7, 5)
+    np.testing.assert_array_equal(back, stack.astype(np.float32))
