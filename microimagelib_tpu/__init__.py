@@ -32,8 +32,13 @@ __version__ = "0.1.0"
 from microimagelib_tpu.io.tiff import gettifinfo, readtifstack, writetifstack
 from microimagelib_tpu.io.tmx import read_tmx, write_tmx
 from microimagelib_tpu.utils.device import query_device
+from microimagelib_tpu.utils.pathutil import concat, fexists
+from microimagelib_tpu.ops.basics import align_size_3d as alignsize3d
 
 __all__ = [
+    "concat",
+    "fexists",
+    "alignsize3d",
     "gettifinfo",
     "readtifstack",
     "writetifstack",
