@@ -82,3 +82,31 @@ def test_fusion_step_multichip_runs(setup):
     ss0, st0 = corr3d_partials(jnp.asarray(batch_b[0]), jnp.asarray(batch_a[0]), tmx[0])
     np.testing.assert_allclose(float(ss[0]), float(ss0), rtol=1e-5)
     np.testing.assert_allclose(float(st[0]), float(st0), rtol=1e-5)
+
+
+def test_pencil_fft_roundtrip_and_match():
+    """rfft3_pencil under shard_map must match jnp.fft.rfftn exactly."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from microimagelib_tpu.ops.fft_sharded import irfft3_pencil, rfft3_pencil
+    from microimagelib_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_sp=4, n_dp=1)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((16, 16, 16)).astype(np.float32))
+
+    fwd = jax.jit(shard_map(
+        rfft3_pencil, mesh=mesh,
+        in_specs=P("sp", None, None), out_specs=P(None, "sp", None)))
+    spec = fwd(x)
+    ref = jnp.fft.rfftn(x)
+    np.testing.assert_allclose(np.asarray(spec), np.asarray(ref), rtol=1e-4, atol=1e-3)
+
+    inv = jax.jit(shard_map(
+        partial(irfft3_pencil, nx=16), mesh=mesh,
+        in_specs=P(None, "sp", None), out_specs=P("sp", None, None)))
+    back = inv(spec)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), rtol=1e-4, atol=1e-5)
