@@ -463,9 +463,10 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
         else:
             # accelerator: the single-program ladder is fastest, but very
             # long single executions can trip device watchdogs on large
-            # volumes (observed on the axon TPU at 128^3); fall back to
-            # the hybrid one-call-per-linmin engine above a voxel budget
-            max_vox = int(os.environ.get("MIL_DEVICE_LADDER_MAX_VOXELS", str(84 ** 3)))
+            # volumes; with the Pallas NCC cost (6 ms/eval at 128^3) whole
+            # ladders stay well under the limit up to 128^3 — fall back to
+            # the hybrid one-call-per-linmin engine above the voxel budget
+            max_vox = int(os.environ.get("MIL_DEVICE_LADDER_MAX_VOXELS", str(128 ** 3)))
             engine = "device" if total <= max_vox else "hybrid"
 
     if engine == "hybrid" and aff_method in (1, 2, 3, 4, 5, 6, 7):
