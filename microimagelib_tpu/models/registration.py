@@ -658,29 +658,50 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
 # multi-resolution pyramid
 # --------------------------------------------------------------------------
 
+def _pool_factors(k):
+    """Normalize a pooling spec to per-axis (kz, ky, kx)."""
+    if np.isscalar(k):
+        return (int(k),) * 3
+    kz, ky, kx = (int(v) for v in k)
+    return kz, ky, kx
+
+
 def _mean_pool(vol, k):
-    """k-fold mean pooling per axis (trailing remainder cropped)."""
+    """Per-axis mean pooling (trailing remainders cropped). k: scalar or
+    (kz, ky, kx)."""
+    kz, ky, kx = _pool_factors(k)
     sz, sy, sx = vol.shape
-    vol = vol[: sz - sz % k, : sy - sy % k, : sx - sx % k]
-    return vol.reshape(sz // k, k, sy // k, k, sx // k, k).mean(axis=(1, 3, 5))
+    vol = vol[: sz - sz % kz, : sy - sy % ky, : sx - sx % kx]
+    return vol.reshape(sz // kz, kz, sy // ky, ky, sx // kx, kx).mean(axis=(1, 3, 5))
+
+
+def _k_xyz(k):
+    """Pooling factors in matrix (x, y, z) coordinate order."""
+    kz, ky, kx = _pool_factors(k)
+    return np.array([kx, ky, kz], np.float64)
 
 
 def _tmx_coarse_to_full(m_c, k):
-    """Matrix found on a k-pooled grid -> full-resolution matrix.
-    Pooled voxel centers sit at full coordinate k*i + (k-1)/2, so
-    A stays and t_f = k*t_c + delta - A@delta with delta = (k-1)/2."""
+    """Matrix found on a pooled grid -> full-resolution matrix.
+    Pooled voxel centers sit at full coordinate k_i*i + (k_i-1)/2 per
+    axis, so A_f[i,j] = k_i*A_c[i,j]/k_j and
+    t_f = K@t_c + delta - A_f@delta with delta_i = (k_i-1)/2."""
     m = np.asarray(m_c, np.float64).reshape(3, 4)
-    delta = np.full(3, (k - 1) / 2.0)
-    out = m.copy()
-    out[:, 3] = k * m[:, 3] + delta - m[:, :3] @ delta
+    kv = _k_xyz(k)
+    delta = (kv - 1) / 2.0
+    a_full = m[:, :3] * kv[:, None] / kv[None, :]
+    t_full = kv * m[:, 3] + delta - a_full @ delta
+    out = np.concatenate([a_full, t_full[:, None]], axis=1)
     return out.reshape(12).astype(np.float32)
 
 
 def _tmx_full_to_coarse(m_f, k):
     m = np.asarray(m_f, np.float64).reshape(3, 4)
-    delta = np.full(3, (k - 1) / 2.0)
-    out = m.copy()
-    out[:, 3] = (m[:, 3] - delta + m[:, :3] @ delta) / k
+    kv = _k_xyz(k)
+    delta = (kv - 1) / 2.0
+    a_coarse = m[:, :3] / kv[:, None] * kv[None, :]
+    t_coarse = (m[:, 3] - delta + m[:, :3] @ delta) / kv
+    out = np.concatenate([a_coarse, t_coarse[:, None]], axis=1)
     return out.reshape(12).astype(np.float32)
 
 
@@ -702,19 +723,30 @@ def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
         records = np.zeros(11, dtype=np.float64)
     total = img1.size
     if factor is None:
-        factor = 1
-        t = total
-        while t > 96 ** 3:
-            factor *= 2
-            t = total // (factor ** 3)
-    if factor <= 1:
+        # per-axis factors: halve z and y until under budget; only pool x
+        # when the pooled extent would stay a multiple of 128 (keeps the
+        # coarse level eligible for the Pallas NCC kernel)
+        sz0, sy0, sx0 = img1.shape
+        kz = ky = kx = 1
+        def vox():
+            return (sz0 // kz) * (sy0 // ky) * (sx0 // kx)
+        while vox() > 96 ** 3:
+            if (sx0 // (kx * 2)) % 128 == 0 and sx0 // (kx * 2) >= 128:
+                kx *= 2
+            kz *= 2
+            ky *= 2
+        factor = (kz, ky, kx)
+    if np.isscalar(factor) and factor <= 1:
+        return reg3d_affine(img1, img2, aff_method, flag_tmx, tmx, ftol,
+                            it_limit, verbose, records, device, engine)
+    if all(v == 1 for v in _pool_factors(factor)):
         return reg3d_affine(img1, img2, aff_method, flag_tmx, tmx, ftol,
                             it_limit, verbose, records, device, engine)
     c1 = _mean_pool(img1, factor)
     c2 = _mean_pool(img2, factor)
     tmx_c = _tmx_full_to_coarse(tmx, factor) if (flag_tmx and tmx is not None) else None
     if verbose:
-        print(f"\t... pyramid: coarse search at 1/{factor} resolution {tuple(c1.shape)}")
+        print(f"\t... pyramid: coarse search at 1/{_pool_factors(factor)} resolution {tuple(c1.shape)}")
     _, m_coarse, rec_c = reg3d_affine(c1, c2, aff_method, flag_tmx, tmx_c,
                                       ftol, it_limit, verbose, None, device, engine)
     m_init = _tmx_coarse_to_full(m_coarse, factor)

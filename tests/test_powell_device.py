@@ -181,3 +181,47 @@ def test_pyramid_coordinate_consistency():
     ncc = float(((a - a.mean()) * (b - b.mean())).sum()
                 / np.sqrt(((a - a.mean()) ** 2).sum() * ((b - b.mean()) ** 2).sum()))
     assert ncc > 0.998
+
+
+def test_pyramid_anisotropic_factor_conversion():
+    from microimagelib_tpu.models.registration import (
+        _mean_pool,
+        _tmx_coarse_to_full,
+        _tmx_full_to_coarse,
+    )
+
+    m = dof_to_matrix([3.0, -2.0, 1.0, 5.0, -3.0, 2.0, 1.05, 0.95, 1.02], 9)
+    for k in ((2, 2, 1), (4, 2, 1), (2, 4, 2)):
+        back = _tmx_full_to_coarse(_tmx_coarse_to_full(m, k), k)
+        np.testing.assert_allclose(back, m, atol=1e-5)
+        np.testing.assert_allclose(_tmx_coarse_to_full(identity_tmx(), k),
+                                   identity_tmx(), atol=1e-6)
+    # anisotropic coordinate consistency: pooled sampling through the
+    # converted matrix agrees with full sampling
+    vol = smooth_blobs((32, 32, 32), n=10, seed=11, sigma=3.0)
+    k = (2, 2, 1)
+    m_c = identity_tmx()
+    m_c[3], m_c[7], m_c[11] = 1.0, 0.75, 0.5
+    m_f = _tmx_coarse_to_full(m_c, k)
+    coarse = _mean_pool(vol, k)
+    out_c = np.asarray(affine_transform_3d(jnp.asarray(coarse.astype(np.float32)), m_c, coarse.shape))
+    out_f = np.asarray(affine_transform_3d(jnp.asarray(vol), m_f, vol.shape))
+    pooled_full = _mean_pool(out_f, k)
+    a = out_c[2:-2, 2:-2, 2:-2]
+    b = pooled_full[2:-2, 2:-2, 2:-2]
+    ncc = float(((a - a.mean()) * (b - b.mean())).sum()
+                / np.sqrt(((a - a.mean()) ** 2).sum() * ((b - b.mean()) ** 2).sum()))
+    assert ncc > 0.998
+
+
+def test_pyramid_anisotropic_registration():
+    from microimagelib_tpu.models.registration import reg3d_affine_pyramid
+
+    vol = smooth_blobs((32, 32, 32), n=14, seed=12, sigma=2.5)
+    true_m = identity_tmx()
+    true_m[3], true_m[7], true_m[11] = 2.0, -1.5, 1.0
+    moved = np.asarray(affine_transform_3d(jnp.asarray(vol), true_m, vol.shape))
+    reg, tmx, rec = reg3d_affine_pyramid(vol, moved, aff_method=1, ftol=1e-5,
+                                         it_limit=2000, factor=(2, 2, 1))
+    assert rec[3] > 0.97
+    np.testing.assert_allclose([tmx[3], tmx[7], tmx[11]], [-2.0, 1.5, -1.0], atol=0.4)
