@@ -32,7 +32,7 @@ K = 16          # source box extent in z and y
 ROWS_PER_STEP = 8
 
 
-def _kernel(m_ref, src_hbm, tgt_ref, out_ref, box_scratch, sem, *, sz, sy, sx):
+def _kernel(m_ref, src_hbm, tgt_ref, out_ref, box_scratch, sem, *, sz, sy, sx, sxp):
     """Grid: one step per block of ROWS_PER_STEP output rows.
 
     m_ref: (1, 16) SMEM — the 12 matrix entries (padded).
@@ -67,9 +67,10 @@ def _kernel(m_ref, src_hbm, tgt_ref, out_ref, box_scratch, sem, *, sz, sy, sx):
     m22 = m_ref[0, 10]
     m23 = m_ref[0, 11]
 
-    xs = lax.broadcasted_iota(jnp.int32, (1, sx), 1).astype(jnp.float32)
-    kz = lax.broadcasted_iota(jnp.int32, (K + ROWS_PER_STEP, sx), 0)
-    ixs = lax.broadcasted_iota(jnp.int32, (sx, sx), 0)  # source-x index rows
+    xs_i = lax.broadcasted_iota(jnp.int32, (1, sxp), 1)
+    xs = xs_i.astype(jnp.float32)
+    kz = lax.broadcasted_iota(jnp.int32, (K + ROWS_PER_STEP, sxp), 0)
+    ixs = lax.broadcasted_iota(jnp.int32, (sxp, sxp), 0)  # source-x index rows
 
     kz_n = min(K, sz)
     ky_n = min(K + ROWS_PER_STEP, sy)
@@ -91,7 +92,8 @@ def _kernel(m_ref, src_hbm, tgt_ref, out_ref, box_scratch, sem, *, sz, sy, sx):
         cy = m10 * xs + (m11 * y + m12 * z + m13)
         cz = m20 * xs + (m21 * y + m22 * z + m23)
         valid = (cx > -0.5) & (cy > -0.5) & (cz > -0.5) & \
-                (cx < sx - 0.5) & (cy < sy - 0.5) & (cz < sz - 0.5)
+                (cx < sx - 0.5) & (cy < sy - 0.5) & (cz < sz - 0.5) & \
+                (xs_i < sx)  # padded out-x tail contributes nothing
         x0 = jnp.floor(cx)
         y0 = jnp.floor(cy)
         z0 = jnp.floor(cz)
@@ -139,13 +141,13 @@ def _kernel(m_ref, src_hbm, tgt_ref, out_ref, box_scratch, sem, *, sz, sy, sx):
         y1l = y1i - (oy + oy_r)
         wz = (1.0 - fz) * (kz[:kz_n] == z0l) + fz * (kz[:kz_n] == z1l)
         wy = (1.0 - fy) * (kz[:ky_row] == y0l) + fy * (kz[:ky_row] == y1l)
-        wzy = (wz[:, None, :] * wy[None, :, :]).reshape(kz_n * ky_row, sx)
+        wzy = (wz[:, None, :] * wy[None, :, :]).reshape(kz_n * ky_row, sxp)
         wx = (1.0 - fx) * (ixs == x0i) + fx * (ixs == x1i)
-        q = jnp.dot(box_row.reshape(kz_n * ky_row, sx), wx,
+        q = jnp.dot(box_row.reshape(kz_n * ky_row, sxp), wx,
                     preferred_element_type=jnp.float32)
         s_row = jnp.sum(wzy * q, axis=0, keepdims=True)
         s_row = jnp.where(valid, s_row, 0.0)
-        t_row = tgt_ref[r, :].reshape(1, sx)
+        t_row = tgt_ref[r, :].reshape(1, sxp)
         ss_acc = ss_acc + jnp.sum(s_row * s_row)
         st_acc = st_acc + jnp.sum(s_row * t_row)
 
@@ -155,22 +157,22 @@ def _kernel(m_ref, src_hbm, tgt_ref, out_ref, box_scratch, sem, *, sz, sy, sx):
     out_ref[:] = new
 
 
-def _corr_pallas_raw(src, tgt2d, m16, sz, sy, sx, interpret=False):
+def _corr_pallas_raw(src, tgt2d, m16, sz, sy, sx, sxp, interpret=False):
     n_rows = sz * sy
     n_steps = n_rows // ROWS_PER_STEP
-    kernel = partial(_kernel, sz=sz, sy=sy, sx=sx)
+    kernel = partial(_kernel, sz=sz, sy=sy, sx=sx, sxp=sxp)
     out = pl.pallas_call(
         kernel,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((ROWS_PER_STEP, sx), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS_PER_STEP, sxp), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((K, K + ROWS_PER_STEP, sx), jnp.float32),
+            pltpu.VMEM((K, K + ROWS_PER_STEP, sxp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -183,17 +185,22 @@ def corr3d_partials_pallas(src, tgt, tmx, interpret=False):
     """Fused resample + NCC partials as a Pallas kernel, with gather
     fallback for matrices whose footprint exceeds the box."""
     sz, sy, sx = src.shape
-    if (sz * sy) % ROWS_PER_STEP or sx % 128:
-        # Mosaic requires the lane (minor) dimension of HBM slices to be a
-        # multiple of 128; odd row counts are also unsupported. Fall back
-        # to the XLA one-hot formulation for such shapes.
+    if (sz * sy) % ROWS_PER_STEP:
+        # odd row counts unsupported; XLA one-hot formulation instead
         from microimagelib_tpu.ops.affine_fast import corr3d_partials_mxu
 
         return corr3d_partials_mxu(src, tgt, tmx)
+    # Mosaic requires the lane (minor) dim of HBM slices to be a multiple
+    # of 128: pad x with zeros — index math uses the true sx (clamp at
+    # sx-1 preserves edge semantics) and the padded out-x tail is masked
+    sxp = -(-sx // 128) * 128
+    if sxp != sx:
+        src = jnp.pad(src, ((0, 0), (0, 0), (0, sxp - sx)))
+        tgt = jnp.pad(tgt, ((0, 0), (0, 0), (0, sxp - sx)))
     tmx = jnp.asarray(tmx, jnp.float32)
     m16 = jnp.zeros((1, 16), jnp.float32).at[0, :12].set(tmx)
-    tgt2d = tgt.reshape(sz * sy, sx)
-    ss, st, all_fit = _corr_pallas_raw(src, tgt2d, m16, sz, sy, sx, interpret)
+    tgt2d = tgt.reshape(sz * sy, sxp)
+    ss, st, all_fit = _corr_pallas_raw(src, tgt2d, m16, sz, sy, sx, sxp, interpret)
 
     def fast(_):
         return ss, st
