@@ -705,6 +705,35 @@ def _tmx_full_to_coarse(m_f, k):
     return out.reshape(12).astype(np.float32)
 
 
+def _auto_pool_factors(shape, budget=96 ** 3):
+    """Per-axis pyramid pooling factors: halve z and y until the coarse
+    level is under ``budget`` voxels; only pool x when the pooled extent
+    stays a multiple of 128 (keeps the coarse level eligible for the
+    Pallas NCC kernel). Each axis only pools while its coarse extent
+    stays usable (>= 8) so thin-slab volumes (e.g. 2 x 2048 x 2048)
+    never pool an axis to zero; stops when no axis can pool further."""
+    sz0, sy0, sx0 = shape
+    kz = ky = kx = 1
+
+    def vox():
+        return (sz0 // kz) * (sy0 // ky) * (sx0 // kx)
+
+    while vox() > budget:
+        progressed = False
+        if (sx0 // (kx * 2)) % 128 == 0 and sx0 // (kx * 2) >= 128:
+            kx *= 2
+            progressed = True
+        if sz0 // (kz * 2) >= 8:
+            kz *= 2
+            progressed = True
+        if sy0 // (ky * 2) >= 8:
+            ky *= 2
+            progressed = True
+        if not progressed:
+            break
+    return (kz, ky, kx)
+
+
 def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
                          ftol=1e-4, it_limit=3000, verbose=False, records=None,
                          device=None, engine="auto", factor=None):
@@ -722,20 +751,11 @@ def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
     if records is None:
         records = np.zeros(11, dtype=np.float64)
     total = img1.size
+    if aff_method == 0:
+        return reg3d_affine(img1, img2, 0, flag_tmx, tmx, ftol,
+                            it_limit, verbose, records, device, engine)
     if factor is None:
-        # per-axis factors: halve z and y until under budget; only pool x
-        # when the pooled extent would stay a multiple of 128 (keeps the
-        # coarse level eligible for the Pallas NCC kernel)
-        sz0, sy0, sx0 = img1.shape
-        kz = ky = kx = 1
-        def vox():
-            return (sz0 // kz) * (sy0 // ky) * (sx0 // kx)
-        while vox() > 96 ** 3:
-            if (sx0 // (kx * 2)) % 128 == 0 and sx0 // (kx * 2) >= 128:
-                kx *= 2
-            kz *= 2
-            ky *= 2
-        factor = (kz, ky, kx)
+        factor = _auto_pool_factors(img1.shape)
     if np.isscalar(factor) and factor <= 1:
         return reg3d_affine(img1, img2, aff_method, flag_tmx, tmx, ftol,
                             it_limit, verbose, records, device, engine)
@@ -750,10 +770,17 @@ def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
     _, m_coarse, rec_c = reg3d_affine(c1, c2, aff_method, flag_tmx, tmx_c,
                                       ftol, it_limit, verbose, None, device, engine)
     m_init = _tmx_coarse_to_full(m_coarse, factor)
+    # Polish with the REQUESTED transform model, not an unconditional
+    # 12-DOF upgrade: dofNum is Powell's exact dimensionality in the
+    # reference (reference:src/api_subfunc.cu:2893-2916), so affMethod 1
+    # must yield a pure translation even through the pyramid. Escalation
+    # methods 6/7 already end at 12-DOF, so they polish with 5.
+    polish_method = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 5, 7: 5}[aff_method]
     if verbose:
-        print("\t... pyramid: full-resolution 12-DOF polish")
-    reg, m_full, records = reg3d_affine(img1, img2, 5, True, m_init, ftol,
-                                        it_limit, verbose, records, device, engine)
+        print(f"\t... pyramid: full-resolution polish (method {polish_method})")
+    reg, m_full, records = reg3d_affine(img1, img2, polish_method, True, m_init,
+                                        ftol, it_limit, verbose, records, device,
+                                        engine)
     records[2] = rec_c[3]  # coarse-stage NCC as the intermediate record
     return reg, m_full, records
 

@@ -110,11 +110,13 @@ def _kernel(m_ref, src_hbm, tgt_ref, out_ref, box_scratch, sem, *, sz, sy, sx, s
         z0i = jnp.clip(z0r, 0, sz - 1)
         z1i = jnp.clip(z0r + 1, 0, sz - 1)
         y_lo_row = jnp.min(jnp.where(valid, y0i, sy))
+        y_hi_row = jnp.max(jnp.where(valid, y1i, 0))
         z_lo_all = jnp.minimum(z_lo_all, jnp.min(jnp.where(valid, z0i, sz)))
         z_hi_all = jnp.maximum(z_hi_all, jnp.max(jnp.where(valid, z1i, 0)))
         y_lo_all = jnp.minimum(y_lo_all, y_lo_row)
-        y_hi_all = jnp.maximum(y_hi_all, jnp.max(jnp.where(valid, y1i, 0)))
-        rows.append((valid, x0i, x1i, y0i, y1i, z0i, z1i, fx, fy, fz, y_lo_row))
+        y_hi_all = jnp.maximum(y_hi_all, y_hi_row)
+        rows.append((valid, x0i, x1i, y0i, y1i, z0i, z1i, fx, fy, fz,
+                     y_lo_row, y_hi_row))
 
     oz = jnp.clip(z_lo_all, 0, sz - kz_n)
     oy = jnp.clip(y_lo_all, 0, sy - ky_n)
@@ -132,8 +134,14 @@ def _kernel(m_ref, src_hbm, tgt_ref, out_ref, box_scratch, sem, *, sz, sy, sx, s
 
     # ---- pass 2: per-row one-hot contraction over a tight (kz, K) window ----
     for r in range(ROWS_PER_STEP):
-        valid, x0i, x1i, y0i, y1i, z0i, z1i, fx, fy, fz, y_lo_row = rows[r]
+        (valid, x0i, x1i, y0i, y1i, z0i, z1i, fx, fy, fz,
+         y_lo_row, y_hi_row) = rows[r]
         oy_r = jnp.clip(y_lo_row - oy, 0, ky_n - ky_row)
+        # The block-level check above covers the COMBINED footprint within
+        # ky_n rows, but each row's contraction window is only ky_row wide:
+        # a row whose own span exceeds ky_row must also flag no-fit.
+        fits_acc = fits_acc * (
+            y_hi_row - (oy + oy_r) < ky_row).astype(jnp.float32)
         box_row = box_scratch[:kz_n, pl.ds(oy_r, ky_row), :]
         z0l = z0i - oz
         z1l = z1i - oz
@@ -194,6 +202,7 @@ def corr3d_partials_pallas(src, tgt, tmx, interpret=False):
     # of 128: pad x with zeros — index math uses the true sx (clamp at
     # sx-1 preserves edge semantics) and the padded out-x tail is masked
     sxp = -(-sx // 128) * 128
+    src_u, tgt_u = src, tgt  # unpadded: the gather fallback must see true extents
     if sxp != sx:
         src = jnp.pad(src, ((0, 0), (0, 0), (0, sxp - sx)))
         tgt = jnp.pad(tgt, ((0, 0), (0, 0), (0, sxp - sx)))
@@ -206,6 +215,6 @@ def corr3d_partials_pallas(src, tgt, tmx, interpret=False):
         return ss, st
 
     def slow(_):
-        return _corr_gather(src, tgt, tmx)
+        return _corr_gather(src_u, tgt_u, tmx)
 
     return lax.cond(all_fit, fast, slow, None)

@@ -71,10 +71,14 @@ def _mnbrak(f, ax, bx):
             # fu0 < fc: minimum between b and c -> done with (bx, u0, cx)
             # fu0 > fb: minimum between a and u -> done with (ax, bx, u0)
             # else: discard u0, step u past c
-            u1 = cx + GOLD * (cx - bx)
-            fu1 = f(u1)
             done1 = fu0 < fc
             done2 = (~done1) & (fu0 > fb)
+            resolved = done1 | done2
+            u1 = cx + GOLD * (cx - bx)
+            # NR evaluates the stepped-past-c point only when the bracket
+            # is NOT already resolved; a second unconditional eval would
+            # waste a fused-cost call and drain the shared it_limit.
+            fu1 = lax.cond(resolved, lambda _: fu0, lambda _: f(u1), None)
             nax = jnp.where(done1, bx, ax)
             nbx = jnp.where(done1, u0, bx)
             ncx = jnp.where(done1, cx, jnp.where(done2, u0, cx))
@@ -83,7 +87,8 @@ def _mnbrak(f, ax, bx):
             nfc = jnp.where(done2, fu0, fc)
             u = u1
             fu = fu1
-            return nax, nbx, ncx, nfa, nfb, nfc, u, fu, done1 | done2, jnp.int32(2)
+            return (nax, nbx, ncx, nfa, nfb, nfc, u, fu, resolved,
+                    jnp.where(resolved, jnp.int32(1), jnp.int32(2)))
 
         def case_culim(_):
             fu0 = f(u0)

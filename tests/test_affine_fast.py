@@ -60,6 +60,38 @@ def test_anisotropic_shape():
     check(m, shape=(10, 40, 56), seed=3)
 
 
+def test_pallas_fallback_uses_unpadded_extents():
+    # sx=96 forces zero-padding to 128 lanes; the 40-degree rotation forces
+    # the gather fallback. The fallback must evaluate over the TRUE extents:
+    # padded columns can map back into real data (s nonzero, t == 0) and
+    # inflate sum(s^2) by ~50% (round-1 advisor finding).
+    from microimagelib_tpu.ops.pallas_corr import corr3d_partials_pallas
+
+    src, tgt = vols((16, 16, 96), seed=7)
+    m = dof_to_matrix([2.0, -1.0, 0.5, 40.0, 0, 0, 1, 1, 1], 6)
+    ss_g, st_g = corr3d_partials(src, tgt, m)
+    ss_p, st_p = corr3d_partials_pallas(src, tgt, m, interpret=True)
+    np.testing.assert_allclose(float(ss_p), float(ss_g), rtol=2e-4)
+    np.testing.assert_allclose(float(st_p), float(st_g), rtol=2e-4)
+
+
+def test_pallas_per_row_footprint_overflow():
+    # Shear with |m10|*sx ~ 21: each row's own y footprint is in (K, K+8],
+    # so the BLOCK box (K+8 rows) fits but the per-row contraction window
+    # (K rows) does not — the kernel must flag no-fit and take the gather
+    # fallback instead of silently zero-weighting out-of-window samples
+    # (round-1 advisor finding: 27% error without the per-row check).
+    from microimagelib_tpu.ops.pallas_corr import corr3d_partials_pallas
+
+    src, tgt = vols((16, 32, 32), seed=11)
+    m = identity_tmx()
+    m[4], m[5], m[7] = 0.65, 0.1, 1.0  # cy = 0.65*x + 0.1*y + 1
+    ss_g, st_g = corr3d_partials(src, tgt, m)
+    ss_p, st_p = corr3d_partials_pallas(src, tgt, m, interpret=True)
+    np.testing.assert_allclose(float(ss_p), float(ss_g), rtol=2e-4)
+    np.testing.assert_allclose(float(st_p), float(st_g), rtol=2e-4)
+
+
 def test_pallas_interpret_matches_gather():
     from microimagelib_tpu.ops.pallas_corr import corr3d_partials_pallas
 
