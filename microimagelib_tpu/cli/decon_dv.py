@@ -27,7 +27,7 @@ Usage:\tdeconDualView -i1 <image1> -i2 <image2> -fp1 <psf1> -fp2 <psf2> -o <outp
 \t-bp2 <filename>\t\tBackward projector 2 filename [flip of PSF 2]
 \t-it <int>\t\tIteration number of the deconvolution [10]
 \t-cON or -cOFF\t\tTurn on/off constant initialization [OFF]
-\t-gm <int>\t\tMemory mode (kept for compatibility) [-1]
+\t-gm <int>\t\tMemory mode: -1 auto, 0 CPU, 1 HBM-resident, 2 host-staged streaming [-1]
 \t-dev <int>\t\tSpecify the device if multiple devices [0]
 \t-bit <int>\t\tSpecify output image bit: 16 or 32 [same as input image]
 \t-verbON or -verbOFF\tTurn on/off verbose information [ON]
@@ -85,6 +85,7 @@ def main(argv=None):
     out = decon_dualview(img1, img2, psf1, psf2, n_iters=n_iters,
                          const_initial=const_initial, psf_bp_a=psf1_bp,
                          psf_bp_b=psf2_bp, device=get_device(device_num),
+                         mem_mode=fp.get("-gm", -1, int),
                          verbose=verbose, records=records)
     writetifstack(fp.get("-o"), out, bit_out)
     if verbose:

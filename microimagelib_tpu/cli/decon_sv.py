@@ -22,7 +22,7 @@ Usage:\tdeconSingleView -i <inputImageName> -fp <psfImageName> -o <outputImageNa
 \t-o <filename>\t\tOutput image filename (mandatory)
 \t-bp <filename>\t\tBackward projector image filename [flip of forward projector]
 \t-it <int>\t\tIteration number of the deconvolution [20]
-\t-gm <int>\t\tMemory mode (kept for compatibility) [-1]
+\t-gm <int>\t\tMemory mode: -1 auto, 0 CPU, 1 HBM-resident, 2 host-staged streaming [-1]
 \t-dev <int>\t\tSpecify the device if multiple devices [0]
 \t-cON or -cOFF\t\tTurn on/off constant initialization of the deconvolution [OFF]
 \t-bit <int>\t\tSpecify output image bit: 16 or 32 [same as input image]
@@ -72,6 +72,7 @@ def main(argv=None):
     records = np.zeros(10)
     out = decon_singleview(img, psf, n_iters=n_iters, const_initial=const_initial,
                            psf_bp=psf_bp, device=get_device(device_num),
+                           mem_mode=fp.get("-gm", -1, int),
                            verbose=verbose, records=records)
     writetifstack(file_out, out, bit_out)
     if verbose:

@@ -33,7 +33,7 @@ Usage:\tspimFusion -i1 <image1> -i2 <image2> -fp1 <psf1> -fp2 <psf2> -o <output>
 \t-bp1/-bp2 <filename>\tBackward projectors [flips of forward projectors]
 \t-it <int>\t\tDeconvolution iteration number [10]
 \t-cON or -cOFF\t\tConstant initialization of deconvolution [OFF]
-\t-gm <int>\t\tMemory mode (kept for compatibility) [-1]
+\t-gm <int>\t\tMemory mode: -1 auto, 0 CPU, 1 HBM-resident, 2 host-staged streaming [-1]
 \t-dev <int>\t\tDevice number [0]
 \t-bit <int>\t\tOutput image bit: 16 or 32 [same as input]
 \t-verbON or -verbOFF\tVerbose [ON]
@@ -117,6 +117,7 @@ def main(argv=None):
         img1, img2, psf1, psf2, pixel_a, pixel_b, im_rotation,
         reg_choice, aff_method, flag_tmx, tmx, ftol, it_reg, n_iters,
         const_initial, psf1_bp, psf2_bp, device=get_device(device_num),
+        mem_mode=fp.get("-gm", -1, int),
         verbose=verbose, records=records, save_reg_callback=save_reg)
     writetifstack(fp.get("-o"), decon, bit_out)
     if fp.has("-otmx"):

@@ -30,6 +30,7 @@ Fidelity choices mirrored from the reference:
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 
@@ -125,6 +126,53 @@ def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters, const
 
 
 # --------------------------------------------------------------------------
+# Memory-capacity tiering (the reference's gpuMemMode auto probe,
+# reference:src/api_decon.cpp:111-135)
+# --------------------------------------------------------------------------
+
+def hbm_budget_bytes(device=None):
+    """Free device-memory budget in bytes. ``MIL_HBM_BUDGET_MB`` overrides
+    (for testing the tiering deterministically); otherwise the backend's
+    memory stats are probed like ``cudaMemGetInfo``; None when unknown."""
+    env = os.environ.get("MIL_HBM_BUDGET_MB")
+    if env:
+        return float(env) * 1048576.0
+    d = device if device is not None else jax.devices()[0]
+    try:
+        stats = d.memory_stats() or {}
+        if "bytes_limit" in stats:
+            return float(stats["bytes_limit"] - stats.get("bytes_in_use", 0))
+    except Exception:
+        pass
+    return None
+
+
+def _workingset_bytes(fft_shape, dual):
+    """HBM-resident working set of the mode-1 RL loop on the FFT grid:
+    real volumes (est + imgs) + complex OTFs + XLA FFT scratch. The dual
+    path needs ~9 grid-sized buffers, single ~6 — the same tiers the
+    reference sizes its probe against (reference:src/api_decon.cpp:402-413)."""
+    vol = fft_shape[0] * fft_shape[1] * fft_shape[2] * 4
+    return (9 if dual else 6) * vol
+
+
+def _resolve_mem_mode(mem_mode, fft_shape, dual, device, verbose=False):
+    """-1 auto / 0 CPU / 1 HBM-resident / 2 host-staged streamed
+    (reference ``gpuMemMode``, reference:src/api_decon.cpp:111-135)."""
+    if mem_mode in (0, 1, 2):
+        return int(mem_mode)
+    budget = hbm_budget_bytes(device)
+    if budget is None:
+        return 1
+    need = _workingset_bytes(fft_shape, dual)
+    mode = 1 if need <= budget * 0.92 else 2
+    if verbose and mode == 2:
+        print(f"...device memory budget {budget/1048576:.0f} MB below the "
+              f"{need/1048576:.0f} MB working set: host-staged streaming mode")
+    return mode
+
+
+# --------------------------------------------------------------------------
 # Full entries (host orchestration, numpy in/out)
 # --------------------------------------------------------------------------
 
@@ -150,25 +198,66 @@ def decon_singleview(img, psf, n_iters=20, const_initial=False, psf_bp=None,
     img's shape as float32 numpy.
 
     ``records`` (len-10 list/array, optional) is filled with the reference
-    telemetry layout: [0] mem mode used, [6..9] init/preproc/decon/total
-    seconds (reference:src/api_decon.cpp:56-59). ``mem_mode`` is accepted
-    for API parity; on TPU there is a single HBM-resident path (use
-    microimagelib_tpu.parallel for volumes beyond one chip)."""
+    telemetry layout: [0] mem mode used, [1..5] free-memory snapshots MB,
+    [6..9] init/preproc/decon/total seconds
+    (reference:src/api_decon.cpp:56-59).
+
+    ``mem_mode``: -1 auto-probe / 0 CPU backend / 1 HBM-resident /
+    2 host-staged streaming for volumes beyond one chip's HBM (the
+    reference's gpuMemMode, reference:src/api_decon.cpp:111-135; mesh
+    sharding in microimagelib_tpu.parallel is the multi-chip option)."""
     t0 = time.time()
     from microimagelib_tpu.utils.device import free_memory_mb
 
     if records is not None:
         records[1] = free_memory_mb(device)
-    img = jnp.asarray(img, dtype=jnp.float32)
-    psf = jnp.asarray(psf, dtype=jnp.float32)
+    img_np = np.asarray(img, dtype=np.float32)
+    psf_np = np.asarray(psf, dtype=np.float32)
+    fft_shape = _fft_grid(img_np.shape, tpu_friendly_fft)
+    if verbose:
+        print(f"...Image size {img_np.shape[2]} x {img_np.shape[1]} x {img_np.shape[0]}")
+        print(f"...PSF size {psf_np.shape[2]} x {psf_np.shape[1]} x {psf_np.shape[0]}")
+        print(f"...FFT size {fft_shape[2]} x {fft_shape[1]} x {fft_shape[0]}")
+    mode = _resolve_mem_mode(mem_mode, fft_shape, dual=False, device=device,
+                             verbose=verbose)
+
+    if mode == 2:
+        from microimagelib_tpu.models.decon_streamed import (
+            np_crop_center,
+            np_gen_otf,
+            np_pad_stack_edge,
+            rl_decon_single_streamed,
+        )
+
+        t1 = time.time()
+        otf = np_gen_otf(psf_np, fft_shape)
+        bp_np = (np.asarray(psf_bp, np.float32) if psf_bp is not None
+                 else psf_np[::-1, ::-1, ::-1])
+        otf_bp = np_gen_otf(bp_np, fft_shape)
+        padded = (np_pad_stack_edge(img_np, fft_shape)
+                  if tuple(img_np.shape) != fft_shape else img_np)
+        t2 = time.time()
+        est = rl_decon_single_streamed(padded, otf, otf_bp, n_iters,
+                                       const_initial,
+                                       budget_bytes=hbm_budget_bytes(device))
+        out_np = np.asarray(np_crop_center(est, img_np.shape))
+        t3 = time.time()
+        if records is not None:
+            records[0] = 2
+            records[5] = free_memory_mb(device)
+            records[6] = t1 - t0
+            records[7] = t2 - t1
+            records[8] = t3 - t2
+            records[9] = t3 - t0
+        return out_np
+
+    if mode == 0:
+        device = jax.devices("cpu")[0]
+    img = jnp.asarray(img_np)
+    psf = jnp.asarray(psf_np)
     if device is not None:
         img = jax.device_put(img, device)
         psf = jax.device_put(psf, device)
-    fft_shape = _fft_grid(img.shape, tpu_friendly_fft)
-    if verbose:
-        print(f"...Image size {img.shape[2]} x {img.shape[1]} x {img.shape[0]}")
-        print(f"...PSF size {psf.shape[2]} x {psf.shape[1]} x {psf.shape[0]}")
-        print(f"...FFT size {fft_shape[2]} x {fft_shape[1]} x {fft_shape[0]}")
     t1 = time.time()
 
     otf = gen_otf(psf, fft_shape, normalize=True)
@@ -187,7 +276,7 @@ def decon_singleview(img, psf, n_iters=20, const_initial=False, psf_bp=None,
     out_np = np.asarray(out)
     t3 = time.time()
     if records is not None:
-        records[0] = 1
+        records[0] = mode
         records[5] = free_memory_mb(device)
         records[6] = t1 - t0
         records[7] = t2 - t1
@@ -209,15 +298,62 @@ def decon_dualview(img_a, img_b, psf_a, psf_b, n_iters=10, const_initial=False,
 
     if records is not None:
         records[1] = free_memory_mb(device)
-    img_a = jnp.asarray(img_a, dtype=jnp.float32)
-    img_b = jnp.asarray(img_b, dtype=jnp.float32)
-    if img_a.shape != img_b.shape:
-        raise ValueError(f"Dual-view images must match in size: {img_a.shape} vs {img_b.shape}")
-    psf_a = jnp.asarray(psf_a, dtype=jnp.float32)
-    psf_b = jnp.asarray(psf_b, dtype=jnp.float32)
+    img_a_np = np.asarray(img_a, dtype=np.float32)
+    img_b_np = np.asarray(img_b, dtype=np.float32)
+    if img_a_np.shape != img_b_np.shape:
+        raise ValueError(f"Dual-view images must match in size: {img_a_np.shape} vs {img_b_np.shape}")
+    psf_a_np = np.asarray(psf_a, dtype=np.float32)
+    psf_b_np = np.asarray(psf_b, dtype=np.float32)
+    fft_shape = _fft_grid(img_a_np.shape, tpu_friendly_fft)
+    mode = _resolve_mem_mode(mem_mode, fft_shape, dual=True, device=device,
+                             verbose=verbose)
+
+    if mode == 2:
+        from microimagelib_tpu.models.decon_streamed import (
+            np_crop_center,
+            np_gen_otf,
+            np_pad_stack_edge,
+            rl_decon_dual_streamed,
+        )
+
+        t1 = time.time()
+        otf_a_h = np_gen_otf(psf_a_np, fft_shape)
+        otf_b_h = np_gen_otf(psf_b_np, fft_shape)
+        unmatch = psf_bp_a is not None and psf_bp_b is not None
+        bp_a = (np.asarray(psf_bp_a, np.float32) if unmatch
+                else psf_a_np[::-1, ::-1, ::-1])
+        bp_b = (np.asarray(psf_bp_b, np.float32) if unmatch
+                else psf_b_np[::-1, ::-1, ::-1])
+        otf_bp_a_h = np_gen_otf(bp_a, fft_shape)
+        otf_bp_b_h = np_gen_otf(bp_b, fft_shape)
+        pad_a = (np_pad_stack_edge(img_a_np, fft_shape)
+                 if tuple(img_a_np.shape) != fft_shape else img_a_np)
+        pad_b = (np_pad_stack_edge(img_b_np, fft_shape)
+                 if tuple(img_b_np.shape) != fft_shape else img_b_np)
+        t2 = time.time()
+        est = rl_decon_dual_streamed(pad_a, pad_b, otf_a_h, otf_b_h,
+                                     otf_bp_a_h, otf_bp_b_h, n_iters,
+                                     const_initial,
+                                     budget_bytes=hbm_budget_bytes(device))
+        out_np = np.asarray(np_crop_center(est, img_a_np.shape))
+        t3 = time.time()
+        if records is not None:
+            records[0] = 2
+            records[5] = free_memory_mb(device)
+            records[6] = t1 - t0
+            records[7] = t2 - t1
+            records[8] = t3 - t2
+            records[9] = t3 - t0
+        return out_np
+
+    if mode == 0:
+        device = jax.devices("cpu")[0]
+    img_a = jnp.asarray(img_a_np)
+    img_b = jnp.asarray(img_b_np)
+    psf_a = jnp.asarray(psf_a_np)
+    psf_b = jnp.asarray(psf_b_np)
     if device is not None:
         img_a, img_b, psf_a, psf_b = (jax.device_put(v, device) for v in (img_a, img_b, psf_a, psf_b))
-    fft_shape = _fft_grid(img_a.shape, tpu_friendly_fft)
     t1 = time.time()
 
     otf_a = gen_otf(psf_a, fft_shape, normalize=True)
@@ -238,7 +374,7 @@ def decon_dualview(img_a, img_b, psf_a, psf_b, n_iters=10, const_initial=False,
     out_np = np.asarray(out)
     t3 = time.time()
     if records is not None:
-        records[0] = 1
+        records[0] = mode
         records[5] = free_memory_mb(device)
         records[6] = t1 - t0
         records[7] = t2 - t1

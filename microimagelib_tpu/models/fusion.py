@@ -101,7 +101,7 @@ def fusion_dualview(img_a, img_b, psf_a, psf_b,
                     im_rotation=-1, reg_choice=2, aff_method=7, flag_tmx=False,
                     tmx=None, ftol=1e-4, it_limit=3000, n_iters=10,
                     const_initial=False, psf_bp_a=None, psf_bp_b=None,
-                    device=None, verbose=False, records=None,
+                    device=None, mem_mode=-1, verbose=False, records=None,
                     save_reg_callback=None):
     """Full fusion of one timepoint. Returns (decon, tmx, reg_b, a_iso).
 
@@ -134,7 +134,7 @@ def fusion_dualview(img_a, img_b, psf_a, psf_b,
     decon_records = np.zeros(10, dtype=np.float64)
     decon = decon_dualview(
         a_iso, reg_b, psf_a, psf_b, n_iters=n_iters, const_initial=const_initial,
-        psf_bp_a=psf_bp_a, psf_bp_b=psf_bp_b, device=device, verbose=verbose,
-        records=decon_records)
+        psf_bp_a=psf_bp_a, psf_bp_b=psf_bp_b, device=device, mem_mode=mem_mode,
+        verbose=verbose, records=decon_records)
     records[15:19] = decon_records[6:10]
     return decon, out_tmx, reg_b, a_iso

@@ -24,6 +24,7 @@ from __future__ import annotations
 import math
 import os
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -153,23 +154,16 @@ def _phasor_shift_nd(img1, img2):
     return [int(x) - sx // 2, int(y) - sy // 2, int(z) - sz // 2]
 
 
-def _disambiguate_shifts(img1, img2, shifts, dims_xyz):
-    """Wraparound disambiguation: when any |shift| exceeds size/4, compare
-    ZNCC over the up-to-8 (3D) / 4 (2D) crop interpretations and flip the
-    winning axes to the complementary shift
-    (reference:src/api_subfunc.cu:2496-2589)."""
+def _candidate_boxes(shifts, sizes):
+    """Per-axis crop interpretations for the wraparound check: index 0
+    keeps the found shift, 1 flips to the complementary one
+    (reference:src/api_subfunc.cu:2496-2589). Returns (combs, offs, cs,
+    valid) with one row per of the 2^nd combinations."""
+    import itertools
+
     beta = 4
     nd = len(shifts)
-    sizes = dims_xyz
-    if not any(abs(shifts[i]) > sizes[i] // beta for i in range(nd)):
-        return shifts
-    if nd == 2:
-        shifted = imshift(img2[None], -shifts[0], -shifts[1], 0)[0]
-    else:
-        shifted = imshift(img2, -shifts[0], -shifts[1], -shifts[2])
-    # per-axis candidate crops: index 0 original, 1 complementary
-    crop_sizes = []
-    offsets = []
+    crop_sizes, offsets = [], []
     for i in range(nd):
         ab = abs(shifts[i])
         crop_sizes.append([sizes[i] - ab, ab])
@@ -177,31 +171,103 @@ def _disambiguate_shifts(img1, img2, shifts, dims_xyz):
             offsets.append([0, sizes[i] - ab])
         else:
             offsets.append([ab, 0])
-    best = None
-    cc_max = -3.0
-    idx_ranges = [range(2)] * nd
-    import itertools
-    for comb in itertools.product(*idx_ranges):
-        if any(crop_sizes[i][comb[i]] <= sizes[i] // beta for i in range(nd)):
-            continue
-        cs = [crop_sizes[i][comb[i]] for i in range(nd)]
-        off = [offsets[i][comb[i]] for i in range(nd)]
-        if nd == 2:
-            shape_zyx = (1, cs[1], cs[0])
-            off_xyz = (off[0], off[1], 0)
-            c1 = crop_at(img1[None], shape_zyx, off_xyz)
-            c2 = crop_at(shifted[None], shape_zyx, off_xyz)
-        else:
-            shape_zyx = (cs[2], cs[1], cs[0])
-            off_xyz = (off[0], off[1], off[2])
-            c1 = crop_at(img1, shape_zyx, off_xyz)
-            c2 = crop_at(shifted, shape_zyx, off_xyz)
-        cc = zncc(c1, c2)
-        if cc > cc_max:
-            cc_max = cc
-            best = comb
-    if best is None:
+    combs, offs, cs, valid = [], [], [], []
+    for comb in itertools.product(*([range(2)] * nd)):
+        combs.append(comb)
+        offs.append([offsets[i][comb[i]] for i in range(nd)])
+        cs.append([crop_sizes[i][comb[i]] for i in range(nd)])
+        valid.append(not any(crop_sizes[i][comb[i]] <= sizes[i] // beta
+                             for i in range(nd)))
+    return combs, offs, cs, valid
+
+
+@jax.jit
+def _imshift_dyn(a, dx, dy, dz):
+    """imshift with TRACED shift values (one compiled program per volume
+    shape, not per shift)."""
+    sz, sy, sx = a.shape
+    out = jnp.roll(a, shift=(dz, dy, dx), axis=(0, 1, 2))
+    zi = jnp.arange(sz)[:, None, None]
+    yi = jnp.arange(sy)[None, :, None]
+    xi = jnp.arange(sx)[None, None, :]
+    ok = ((zi - dz >= 0) & (zi - dz < sz)
+          & (yi - dy >= 0) & (yi - dy < sy)
+          & (xi - dx >= 0) & (xi - dx < sx))
+    return jnp.where(ok, out, 0.0)
+
+
+@jax.jit
+def _masked_zncc_boxes(a, b, offs_xyz, cs_xyz, valid):
+    """ZNCC of up-to-2^nd box hypotheses in ONE program: each box is a
+    contiguous [off, off+cs) region evaluated as a masked reduction over
+    the full (fixed-shape) volume, so no crop shape specializes the
+    compiled program. Box offsets/sizes are traced data.
+
+    a, b: (z, y, x); offs_xyz/cs_xyz: (n, 3) int32 (x, y, z per row);
+    valid: (n,) bool. Returns (n,) ZNCCs (-3 for invalid rows)."""
+    sz, sy, sx = a.shape
+    zi = jnp.arange(sz)[:, None, None]
+    yi = jnp.arange(sy)[None, :, None]
+    xi = jnp.arange(sx)[None, None, :]
+    # pre-centering by the global means costs nothing (per-box mean
+    # subtraction removes any constant) and avoids f32 cancellation in
+    # the sum-of-squares form
+    a = a - jnp.mean(a)
+    b = b - jnp.mean(b)
+
+    def one(off, cs, ok):
+        w = ((xi >= off[0]) & (xi < off[0] + cs[0])
+             & (yi >= off[1]) & (yi < off[1] + cs[1])
+             & (zi >= off[2]) & (zi < off[2] + cs[2])).astype(a.dtype)
+        n = jnp.sum(w)
+        sa = jnp.sum(w * a)
+        sb = jnp.sum(w * b)
+        saa = jnp.sum(w * a * a)
+        sbb = jnp.sum(w * b * b)
+        sab = jnp.sum(w * a * b)
+        nz = jnp.maximum(n, 1.0)
+        va = saa - sa * sa / nz
+        vb = sbb - sb * sb / nz
+        cov = sab - sa * sb / nz
+        denom = jnp.sqrt(jnp.maximum(va, 0.0) * jnp.maximum(vb, 0.0))
+        cc = jnp.where(denom > 0, cov / denom, -2.0)
+        return jnp.where(ok & (n > 0), cc, -3.0)
+
+    return jax.vmap(one)(offs_xyz, cs_xyz, valid)
+
+
+def _disambiguate_shifts(img1, img2, shifts, dims_xyz):
+    """Wraparound disambiguation: when any |shift| exceeds size/4, compare
+    ZNCC over the up-to-8 (3D) / 4 (2D) crop interpretations and flip the
+    winning axes to the complementary shift
+    (reference:src/api_subfunc.cu:2496-2589).
+
+    TPU-native structure: all hypotheses are evaluated inside one jitted
+    program with masked fixed-shape reductions (shift values are traced
+    data), so a fresh volume shape costs ONE device program load instead
+    of up to 8 shape-specialized ones."""
+    beta = 4
+    nd = len(shifts)
+    sizes = dims_xyz
+    if not any(abs(shifts[i]) > sizes[i] // beta for i in range(nd)):
         return shifts
+    a3 = img1 if nd == 3 else img1[None]
+    b3 = img2 if nd == 3 else img2[None]
+    sh3 = list(shifts) + [0] * (3 - nd)
+    shifted = _imshift_dyn(b3, jnp.int32(-sh3[0]), jnp.int32(-sh3[1]),
+                           jnp.int32(-sh3[2]))
+    combs, offs, cs, valid = _candidate_boxes(shifts, sizes)
+    if not any(valid):
+        return shifts
+    # pad per-row (x, y, z) triples for the 2D case: z box = the full axis
+    offs3 = np.zeros((len(combs), 3), np.int32)
+    cs3 = np.ones((len(combs), 3), np.int32)
+    offs3[:, :nd] = np.asarray(offs, np.int32)
+    cs3[:, :nd] = np.asarray(cs, np.int32)
+    ccs = np.asarray(_masked_zncc_boxes(
+        a3, shifted, jnp.asarray(offs3), jnp.asarray(cs3),
+        jnp.asarray(valid)))
+    best = combs[int(np.argmax(ccs))]
     out = list(shifts)
     for i in range(nd):
         if best[i] == 1:
@@ -228,6 +294,136 @@ def reg2d_phasor(img1, img2):
     sy, sx = a.shape
     shifts = _phasor_shift_nd(a, b)
     return _disambiguate_shifts(a, b, shifts, [sx, sy])
+
+
+# --------------------------------------------------------------------------
+# Low-memory (host-staged) 3D phasor — the reference's reg3d_phasor2
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _crosspow_chunk(s1, s2):
+    """FFT both spectra chunks along z, normalized cross-power, inverse z
+    FFT (the streamed middle pass of the phasor)."""
+    f1 = jnp.fft.fft(s1, axis=0)
+    f2 = jnp.fft.fft(s2, axis=0)
+    prod = jnp.conj(f1) * f2
+    mag = jnp.abs(prod)
+    norm = jnp.where(mag != 0, prod / mag, 0.0)
+    return jnp.fft.ifft(norm, axis=0).astype(jnp.complex64)
+
+
+@partial(jax.jit, static_argnames=("x_out",))
+def _irfft2_argmax_slab(spec_slab, x_out):
+    s = jnp.fft.irfft2(spec_slab, s=(spec_slab.shape[1], x_out))
+    idx = jnp.argmax(s)
+    return s.reshape(-1)[idx], idx
+
+
+@jax.jit
+def _box_stats_slab(a_slab, b_slab, z0, offs_xyz, cs_xyz):
+    """Per-slab partial sums (n, sa, sb, saa, sbb, sab) for each candidate
+    box; host accumulates across slabs in float64."""
+    cz, sy, sx = a_slab.shape
+    zi = z0 + jnp.arange(cz)[:, None, None]
+    yi = jnp.arange(sy)[None, :, None]
+    xi = jnp.arange(sx)[None, None, :]
+
+    def one(off, cs):
+        w = ((xi >= off[0]) & (xi < off[0] + cs[0])
+             & (yi >= off[1]) & (yi < off[1] + cs[1])
+             & (zi >= off[2]) & (zi < off[2] + cs[2])).astype(a_slab.dtype)
+        return jnp.stack([jnp.sum(w), jnp.sum(w * a_slab), jnp.sum(w * b_slab),
+                          jnp.sum(w * a_slab * a_slab),
+                          jnp.sum(w * b_slab * b_slab),
+                          jnp.sum(w * a_slab * b_slab)])
+
+    return jax.vmap(one)(offs_xyz, cs_xyz)
+
+
+def reg3d_phasor_lowmem(img1, img2, budget_bytes=None):
+    """3D phase correlation with the device never holding a full volume —
+    the TPU-native analog of the memory-saving ``reg3d_phasor2``
+    (reference:src/api_subfunc.cu:2591-2726), which staged spectra through
+    host RAM. Both spectra, the cross-power surface, and the disambiguation
+    statistics are streamed through host numpy buffers in z-slab / y-chunk
+    passes; results match ``reg3d_phasor`` (float32 rounding aside)."""
+    from microimagelib_tpu.models.decon_streamed import _chunk_counts
+
+    a = np.asarray(img1, np.float32)
+    b = np.asarray(img2, np.float32)
+    sz, sy, sx = a.shape
+    xh = sx // 2 + 1
+    nz, ny = _chunk_counts(a.shape, budget_bytes)
+    cz, cy = sz // nz, sy // ny
+    from microimagelib_tpu.models.decon_streamed import _fft2_slab
+
+    spec1 = np.empty((sz, sy, xh), np.complex64)
+    spec2 = np.empty((sz, sy, xh), np.complex64)
+    for i in range(nz):
+        sl = slice(i * cz, (i + 1) * cz)
+        spec1[sl] = np.asarray(_fft2_slab(a[sl]))
+        spec2[sl] = np.asarray(_fft2_slab(b[sl]))
+    for j in range(ny):
+        sl = slice(j * cy, (j + 1) * cy)
+        spec1[:, sl] = np.asarray(_crosspow_chunk(spec1[:, sl], spec2[:, sl]))
+    best_val, best_idx = -np.inf, 0
+    for i in range(nz):
+        sl = slice(i * cz, (i + 1) * cz)
+        v, idx = _irfft2_argmax_slab(spec1[sl], sx)
+        v = float(v)
+        if v > best_val:
+            best_val, best_idx = v, int(idx) + i * cz * sy * sx
+    pz, rem = divmod(best_idx, sy * sx)
+    py, px = divmod(rem, sx)
+
+    def wrap(p, s):
+        return ((p + s // 2) % s) - s // 2
+
+    shifts = [wrap(px, sx), wrap(py, sy), wrap(pz, sz)]
+
+    beta = 4
+    if not any(abs(shifts[i]) > [sx, sy, sz][i] // beta for i in range(3)):
+        return shifts
+    # host-side zero-filling shift of the moving volume
+    shifted = np.roll(b, shift=(-shifts[2], -shifts[1], -shifts[0]),
+                      axis=(0, 1, 2))
+    zi = np.arange(sz)[:, None, None]
+    yi = np.arange(sy)[None, :, None]
+    xi = np.arange(sx)[None, None, :]
+    ok = ((zi + shifts[2] >= 0) & (zi + shifts[2] < sz)
+          & (yi + shifts[1] >= 0) & (yi + shifts[1] < sy)
+          & (xi + shifts[0] >= 0) & (xi + shifts[0] < sx))
+    shifted = np.where(ok, shifted, 0.0).astype(np.float32)
+    combs, offs, cs, valid = _candidate_boxes(shifts, [sx, sy, sz])
+    if not any(valid):
+        return shifts
+    offs3 = jnp.asarray(np.asarray(offs, np.int32))
+    cs3 = jnp.asarray(np.asarray(cs, np.int32))
+    acc = np.zeros((len(combs), 6), np.float64)
+    for i in range(nz):
+        sl = slice(i * cz, (i + 1) * cz)
+        acc += np.asarray(_box_stats_slab(a[sl], shifted[sl],
+                                          jnp.int32(i * cz), offs3, cs3),
+                          np.float64)
+    ccs = np.full(len(combs), -3.0)
+    for k in range(len(combs)):
+        if not valid[k]:
+            continue
+        n, sa, sb, saa, sbb, sab = acc[k]
+        if n <= 0:
+            continue
+        va = saa - sa * sa / n
+        vb = sbb - sb * sb / n
+        cov = sab - sa * sb / n
+        denom = math.sqrt(max(va, 0.0) * max(vb, 0.0))
+        ccs[k] = cov / denom if denom > 0 else -2.0
+    best = combs[int(np.argmax(ccs))]
+    out = list(shifts)
+    for i in range(3):
+        if best[i] == 1:
+            out[i] = (shifts[i] - [sx, sy, sz][i] if shifts[i] > 0
+                      else shifts[i] + [sx, sy, sz][i])
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -826,18 +1022,36 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
         return reg3d_affine(i1, i2, method, flag, mx, ftol, it_limit,
                             verbose, records, device, engine)
 
+    def run_phasor(i1, i2):
+        # memory-saving phasor tier (the reference's reg3d_phasor2,
+        # reference:src/api_subfunc.cu:2591-2726): explicit mem_mode 2, or
+        # auto when the ~6x working set exceeds the probed budget
+        from microimagelib_tpu.models.deconvolution import hbm_budget_bytes
+
+        use_lowmem = mem_mode == 2
+        if mem_mode == -1:
+            budget = hbm_budget_bytes(device)
+            if budget is not None and 6 * i1.size * 4 > budget * 0.92:
+                use_lowmem = True
+        if use_lowmem:
+            if verbose:
+                print("\t... phasor in host-staged memory-saving mode")
+            return reg3d_phasor_lowmem(np.asarray(i1), np.asarray(i2),
+                                       budget_bytes=hbm_budget_bytes(device))
+        return reg3d_phasor(i1, i2)
+
     if reg_choice == 0:
         reg, out_tmx, records = reg3d_affine(
             img1, img2, 0, flag_tmx, tmx, ftol, it_limit, verbose, records, device)
     elif reg_choice == 1:
-        shifts = reg3d_phasor(img1, img2)
+        shifts = run_phasor(img1, img2)
         reg = np.asarray(imshift(img2, -shifts[0], -shifts[1], -shifts[2]))
         out_tmx = identity_tmx()
         out_tmx[3], out_tmx[7], out_tmx[11] = shifts
     elif reg_choice == 2:
         reg, out_tmx, records = run_affine(img1, img2, aff_method, flag_tmx, tmx)
     elif reg_choice == 3:
-        shifts = reg3d_phasor(img1, img2)
+        shifts = run_phasor(img1, img2)
         t = identity_tmx()
         t[3], t[7], t[11] = shifts
         reg, out_tmx, records = run_affine(img1, img2, aff_method, True, t)

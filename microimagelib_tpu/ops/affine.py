@@ -123,6 +123,106 @@ def corr3d_partials(src, target, tmx):
     return ss, st
 
 
+def corr3d_partials_window(src_win, target_block, tmx, z0_out, win_start,
+                           sz_global):
+    """NCC partials for a z-BLOCK of output rows sampling a z-WINDOW of the
+    source — the building block of sharded registration (each device holds
+    its target shard plus a bounded source window instead of the full
+    volume; the reference's memory-saving analog is ``reg3d_affine2``,
+    reference:src/api_subfunc.cu:2995-3266).
+
+    src_win: (wz, sy, sx) source rows [win_start, win_start+wz) of a
+    global (sz_global, sy, sx) volume; target_block: (bz, sy, sx) target
+    rows starting at global z ``z0_out``. Validity masks and clamping use
+    the GLOBAL extent, so summing the results over blocks covering the
+    full target reproduces ``corr3d_partials`` exactly — provided the
+    window covers the footprint of every valid sample (out-of-window
+    fetches only ever happen for masked-out samples).
+
+    z0_out/win_start may be traced (one compiled program per shape)."""
+    wz, sy, sx = src_win.shape
+    bz = target_block.shape[0]
+    tmx = jnp.asarray(tmx, dtype=jnp.float32)
+    xs = jnp.arange(sx, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(sy, dtype=jnp.float32)[None, :, None]
+    zs = (jnp.asarray(z0_out, jnp.float32)
+          + jnp.arange(bz, dtype=jnp.float32))[:, None, None]
+    m = tmx.reshape(3, 4)
+    cx = m[0, 0] * xs + m[0, 1] * ys + m[0, 2] * zs + m[0, 3]
+    cy = m[1, 0] * xs + m[1, 1] * ys + m[1, 2] * zs + m[1, 3]
+    cz = m[2, 0] * xs + m[2, 1] * ys + m[2, 2] * zs + m[2, 3]
+
+    valid = (cx > -0.5) & (cy > -0.5) & (cz > -0.5)
+    valid &= (cx < sx - 0.5) & (cy < sy - 0.5) & (cz < sz_global - 0.5)
+
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    z0 = jnp.floor(cz)
+    fx = cx - x0
+    fy = cy - y0
+    fz = cz - z0
+    x0r = x0.astype(jnp.int32)
+    y0r = y0.astype(jnp.int32)
+    z0r = z0.astype(jnp.int32)
+    x0i = jnp.clip(x0r, 0, sx - 1)
+    x1i = jnp.clip(x0r + 1, 0, sx - 1)
+    y0i = jnp.clip(y0r, 0, sy - 1)
+    y1i = jnp.clip(y0r + 1, 0, sy - 1)
+    # global clamp first (CUDA clamp addressing), then window-local; the
+    # second clip only ever moves indices of masked-out samples
+    z0i = jnp.clip(jnp.clip(z0r, 0, sz_global - 1) - win_start, 0, wz - 1)
+    z1i = jnp.clip(jnp.clip(z0r + 1, 0, sz_global - 1) - win_start, 0, wz - 1)
+
+    flat = src_win.reshape(-1)
+    syx = sy * sx
+    b00 = z0i * syx + y0i * sx
+    b01 = z0i * syx + y1i * sx
+    b10 = z1i * syx + y0i * sx
+    b11 = z1i * syx + y1i * sx
+    v000 = jnp.take(flat, b00 + x0i, mode="clip")
+    v001 = jnp.take(flat, b00 + x1i, mode="clip")
+    v010 = jnp.take(flat, b01 + x0i, mode="clip")
+    v011 = jnp.take(flat, b01 + x1i, mode="clip")
+    v100 = jnp.take(flat, b10 + x0i, mode="clip")
+    v101 = jnp.take(flat, b10 + x1i, mode="clip")
+    v110 = jnp.take(flat, b11 + x0i, mode="clip")
+    v111 = jnp.take(flat, b11 + x1i, mode="clip")
+    c00 = v000 + (v001 - v000) * fx
+    c01 = v010 + (v011 - v010) * fx
+    c10 = v100 + (v101 - v100) * fx
+    c11 = v110 + (v111 - v110) * fx
+    c0 = c00 + (c01 - c00) * fy
+    c1 = c10 + (c11 - c10) * fy
+    s = jnp.where(valid, c0 + (c1 - c0) * fz, 0.0)
+    return jnp.sum(s * s), jnp.sum(s * target_block)
+
+
+def zslab_footprint_hops(tmx, shape_zyx, n_shards):
+    """Host-side bound for the sharded-registration halo: the number of
+    neighbor z-shards each device must receive so its source window covers
+    the footprint of every valid sample of its own target rows. Evaluates
+    the affine z-coordinate at the 8 corners of each shard's output block
+    (the map is affine, so extrema are at corners). Returns n_shards - 1
+    (i.e. full gather) if the matrix reaches that far."""
+    import numpy as np
+
+    m = np.asarray(tmx, np.float64).reshape(3, 4)
+    sz, sy, sx = shape_zyx
+    dz = sz // n_shards
+    hops = 0
+    for i in range(n_shards):
+        zlo, zhi = i * dz, (i + 1) * dz - 1
+        czs = [m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + m[2, 3]
+               for x in (0.0, sx - 1.0) for y in (0.0, sy - 1.0)
+               for z in (float(zlo), float(zhi))]
+        lo = int(np.clip(np.floor(min(czs)), 0, sz - 1))
+        hi = int(np.clip(np.floor(max(czs)) + 1, 0, sz - 1))
+        need_lo_hops = -(-(i * dz - lo) // dz) if lo < i * dz else 0
+        need_hi_hops = -(-(hi - ((i + 1) * dz - 1)) // dz) if hi >= (i + 1) * dz else 0
+        hops = max(hops, need_lo_hops, need_hi_hops)
+    return min(hops, n_shards - 1)
+
+
 @partial(jax.jit, static_argnames=())
 def corr3d_partials_batch(src, target, tmx_batch):
     """Vectorized NCC partials over a batch of candidate matrices — powers

@@ -198,3 +198,33 @@ def test_auto_pool_factors_thin_slab():
     assert _auto_pool_factors((128, 128, 128)) == (2, 2, 1)
     # degenerate tiny volume: no pooling possible, loop must terminate
     assert _auto_pool_factors((4, 4, 4), budget=8) == (1, 1, 1)
+
+
+def test_phasor_lowmem_matches_regular():
+    from microimagelib_tpu.models.registration import reg3d_phasor_lowmem
+
+    vol = smooth_blobs((32, 32, 32), n=12, seed=1)
+    shift = (5, -3, 7)
+    moved = np.roll(vol, (shift[2], shift[1], shift[0]), axis=(0, 1, 2))
+    # tiny budget forces multi-chunk streaming on both axes
+    found = reg3d_phasor_lowmem(vol, moved, budget_bytes=32 * 1024)
+    assert tuple(found) == shift
+
+
+def test_phasor_lowmem_wraparound():
+    from microimagelib_tpu.models.registration import reg3d_phasor_lowmem
+
+    vol = smooth_blobs((32, 32, 32), n=12, seed=2)
+    shift = (12, 0, 0)
+    moved = np.zeros_like(vol)
+    moved[:, :, shift[0]:] = vol[:, :, : 32 - shift[0]]
+    found = reg3d_phasor_lowmem(vol, moved, budget_bytes=32 * 1024)
+    assert found[0] == shift[0] and found[1] == 0 and found[2] == 0
+
+
+def test_reg3d_phasor_mem_mode2(monkeypatch):
+    vol = smooth_blobs((24, 24, 24), n=10, seed=6)
+    moved = np.roll(vol, (2, 0, -3), axis=(0, 1, 2))
+    ref_reg, ref_tmx, _ = reg3d(vol, moved, reg_choice=1, mem_mode=1)
+    reg, tmx, rec = reg3d(vol, moved, reg_choice=1, mem_mode=2)
+    np.testing.assert_array_equal(tmx, ref_tmx)
