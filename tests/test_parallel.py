@@ -110,3 +110,70 @@ def test_pencil_fft_roundtrip_and_match():
         in_specs=P(None, "sp", None), out_specs=P("sp", None, None)))
     back = inv(spec)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), rtol=1e-4, atol=1e-5)
+
+
+def test_corr_window_blocks_sum_to_full():
+    """corr3d_partials_window summed over target z-blocks reproduces
+    corr3d_partials for matrices within the window bound."""
+    from microimagelib_tpu.ops.affine import (
+        corr3d_partials,
+        corr3d_partials_window,
+        zslab_footprint_hops,
+    )
+    from microimagelib_tpu.ops.matrix import dof_to_matrix, identity_tmx
+
+    rng = np.random.default_rng(5)
+    src = jnp.asarray(rng.random((16, 16, 16)).astype(np.float32))
+    tgt = jnp.asarray(rng.random((16, 16, 16)).astype(np.float32))
+    mats = [identity_tmx(),
+            dof_to_matrix([1.3, -0.7, 2.2, 4.0, -2.0, 3.0, 1.05, 0.97, 1.02], 9)]
+    n_shards = 4
+    dz = 16 // n_shards
+    for m in mats:
+        hops = zslab_footprint_hops(m, (16, 16, 16), n_shards)
+        ss_ref, st_ref = corr3d_partials(src, tgt, m)
+        ss_sum = st_sum = 0.0
+        for i in range(n_shards):
+            lo = max(0, (i - hops) * dz)
+            hi = min(16, (i + 1 + hops) * dz)
+            ss, st = corr3d_partials_window(
+                src[lo:hi], tgt[i * dz:(i + 1) * dz], m,
+                jnp.int32(i * dz), jnp.int32(lo), 16)
+            ss_sum += float(ss)
+            st_sum += float(st)
+        np.testing.assert_allclose(ss_sum, float(ss_ref), rtol=2e-5)
+        np.testing.assert_allclose(st_sum, float(st_ref), rtol=2e-5)
+
+
+def test_footprint_hops_bounds():
+    from microimagelib_tpu.ops.affine import zslab_footprint_hops
+    from microimagelib_tpu.ops.matrix import identity_tmx
+
+    # identity still needs 1 hop: the z+1 trilinear neighbor of a shard's
+    # last row lives in the next shard
+    assert zslab_footprint_hops(identity_tmx(), (16, 16, 16), 4) == 1
+    # a large z-shift reaches across: full gather
+    m = identity_tmx(); m[11] = 12.0
+    assert zslab_footprint_hops(m, (16, 16, 16), 8) == 7
+
+
+def test_fusion_step_multichip_sharded_registration(setup):
+    """The windowed (non-all_gather) registration path must match the
+    single-device NCC partials, with a matrix that exercises real shifts."""
+    shape, img_a, img_b, otf, otf_bp = setup
+    from microimagelib_tpu.ops.affine import corr3d_partials
+    from microimagelib_tpu.ops.matrix import identity_tmx
+
+    mesh = make_mesh(n_sp=4, n_dp=1)
+    m = identity_tmx()
+    m[3], m[7], m[11] = 1.7, -0.8, 2.3  # z-shift within a 1-2 hop window
+    batch_a = img_a[None].astype(np.float32)
+    batch_b = img_b[None].astype(np.float32)
+    est, ss, st = fusion_step_multichip(mesh, batch_a, batch_b, otf, otf,
+                                        otf_bp, otf_bp, m[None], n_iters=2)
+    ss0, st0 = corr3d_partials(jnp.asarray(img_b), jnp.asarray(img_a), m)
+    np.testing.assert_allclose(float(ss[0]), float(ss0), rtol=1e-5)
+    np.testing.assert_allclose(float(st[0]), float(st0), rtol=1e-5)
+    ref = np.asarray(rl_decon_dual(jnp.asarray(img_a), jnp.asarray(img_b),
+                                   otf, otf, otf_bp, otf_bp, 2))
+    np.testing.assert_allclose(np.asarray(est[0]), ref, rtol=2e-5, atol=2e-5)
