@@ -81,11 +81,35 @@ def main(argv=None):
         psf1_bp, _ = read_stack_checked(fp.get("-bp1"), "backward projector 1")
         psf2_bp, _ = read_stack_checked(fp.get("-bp2"), "backward projector 2")
 
+    mem_mode = fp.get("-gm", -1, int)
+    print("=====================================================")
+    print("=== Deconvolution settings ...")
+    print("... Image information: ")
+    print(f"\tInput image 1 path: {fp.get('-i1')}")
+    print(f"\tInput image 2 path: {fp.get('-i2')}")
+    print(f"\tPSF 1 path: {fp.get('-fp1')}")
+    print(f"\tPSF 2 path: {fp.get('-fp2')}")
+    if psf1_bp is not None:
+        print(f"\tBackward projector 1 path: {fp.get('-bp1')}")
+        print(f"\tBackward projector 2 path: {fp.get('-bp2')}")
+    print(f"\tOutput image path: {fp.get('-o')}")
+    print(f"\tInput image size {img1.shape[2]} x {img1.shape[1]} x {img1.shape[0]}")
+    print(f"\tPSF image size {psf1.shape[2]} x {psf1.shape[1]} x {psf1.shape[0]}")
+    print("... Parameters:")
+    print(f"\tUse unmatched backward projectors: {'yes' if psf1_bp is not None else 'no'}")
+    print(f"\tIteration number of the deconvolution: {n_iters}")
+    print(f"\tConstant initialization: {'on' if const_initial else 'off'}")
+    print(f"\tMemory mode: {mem_mode} (-1 auto, 0 CPU, 1 HBM-resident, 2 host-staged)")
+    print(f"\tDevice number: {device_num}")
+    print(f"\tOutput image bit: {bit_out} bit")
+    print(f"\tverbose information: {'true' if verbose else 'false'}")
+    print("=====================================================\n")
+
     records = np.zeros(10)
     out = decon_dualview(img1, img2, psf1, psf2, n_iters=n_iters,
                          const_initial=const_initial, psf_bp_a=psf1_bp,
                          psf_bp_b=psf2_bp, device=get_device(device_num),
-                         mem_mode=fp.get("-gm", -1, int),
+                         mem_mode=mem_mode,
                          verbose=verbose, records=records)
     writetifstack(fp.get("-o"), out, bit_out)
     if verbose:

@@ -69,10 +69,33 @@ def main(argv=None):
     if fp.has("-bp"):
         psf_bp, _ = read_stack_checked(fp.get("-bp"), "backward projector")
 
+    mem_mode = fp.get("-gm", -1, int)
+    print("=====================================================")
+    print("=== Deconvolution settings ...")
+    print("... Image information: ")
+    print(f"\tInput image path: {file_img}")
+    print(f"\tPSF (forward projector) image path: {file_psf}")
+    if psf_bp is not None:
+        print(f"\tBackward projector image path: {fp.get('-bp')}")
+    print(f"\tOutput image path: {file_out}")
+    print(f"\tInput image size {img.shape[2]} x {img.shape[1]} x {img.shape[0]}")
+    print(f"\tPSF image size {psf.shape[2]} x {psf.shape[1]} x {psf.shape[0]}")
+    print(f"\tOutput image size {img.shape[2]} x {img.shape[1]} x {img.shape[0]}")
+    print("... Parameters:")
+    if psf_bp is not None:
+        print("\tUse unmatched backward projector: yes")
+    print(f"\tIteration number of the deconvolution: {n_iters}")
+    print(f"\tConstant initialization: {'on' if const_initial else 'off'}")
+    print(f"\tMemory mode: {mem_mode} (-1 auto, 0 CPU, 1 HBM-resident, 2 host-staged)")
+    print(f"\tDevice number: {device_num}")
+    print(f"\tOutput image bit: {bit_out} bit")
+    print(f"\tverbose information: {'true' if verbose else 'false'}")
+    print("=====================================================\n")
+
     records = np.zeros(10)
     out = decon_singleview(img, psf, n_iters=n_iters, const_initial=const_initial,
                            psf_bp=psf_bp, device=get_device(device_num),
-                           mem_mode=fp.get("-gm", -1, int),
+                           mem_mode=mem_mode,
                            verbose=verbose, records=records)
     writetifstack(file_out, out, bit_out)
     if verbose:

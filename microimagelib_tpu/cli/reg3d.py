@@ -38,7 +38,7 @@ Usage:\treg3D -t <targetImageName> -s <sourceImageName> -o <outputImageName> [OP
 \t\t\t\t7: 3 DOF --> 6 DOF--> 9 DOF--> 12 DOF
 \t-ftol <float>\t\tTolerance or threshold of the stop point [0.0001]
 \t-it <int>\t\tMaximum iteration number [3000]
-\t-gm <int>\t\tMemory mode (kept for compatibility; TPU path is single-tier) [-1]
+\t-gm <int>\t\tMemory mode: -1 auto, 0 CPU, 1 HBM-resident, 2 host-staged streaming [-1]
 \t-dev <int>\t\tSpecify the device if multiple devices [0]
 \t-bit <int>\t\tSpecify output image bit: 16 or 32 [same as input image]
 \t-verbON or -verbOFF\tTurn on/off verbose information [ON]
@@ -48,6 +48,73 @@ Usage:\treg3D -t <targetImageName> -s <sourceImageName> -o <outputImageName> [OP
 VALUE_FLAGS = {"-t", "-s", "-o", "-itmx", "-otmx", "-regc", "-affm", "-ftol",
                "-it", "-gm", "-dev", "-bit", "-log"}
 BARE_FLAGS = {"-verbON", "-verbOFF", "-h", "-help"}
+
+REG_CHOICE_NAMES = {
+    0: "no registration",
+    1: "phasor registration",
+    2: "affine registration",
+    3: "phasor registration --> affine registration",
+    4: "2D registration --> affine registration",
+}
+AFF_METHOD_NAMES = {
+    0: "no registration",
+    1: "translation only",
+    2: "rigid body",
+    3: "7 DOF",
+    4: "9 DOF",
+    5: "12 DOF",
+    6: "rigid body --> 12 DOF",
+    7: "3 DOF --> 6 DOF --> 9 DOF --> 12 DOF",
+}
+MEM_MODE_NAMES = {
+    -1: "automatically setting",
+    0: "CPU",
+    1: "HBM-resident device",
+    2: "memory-saved (host-staged) device",
+}
+
+
+def _print_settings_banner(fp, file_tgt, file_src, file_out, size1, size2,
+                           reg_choice, aff_method, ftol, it_limit, mem_mode,
+                           device_num, bit_out, flag_bit_input, verbose):
+    """Full settings dump before processing — the reference's de-facto
+    provenance record for experiments (reference:src/reg3D.cpp:161-271)."""
+    print("=====================================================")
+    print("=== Registration settings ...")
+    print("... Image information: ")
+    print(f"\tTarget (fixed) image: {file_tgt}")
+    print(f"\tSource (floating) image: {file_src}")
+    print(f"\tOutput (registered) image: {file_out}")
+    print(f"\tTarget (fixed) image size {size1[0]} x {size1[1]} x {size1[2]}")
+    print(f"\tSource (floating) image size {size2[0]} x {size2[1]} x {size2[2]}")
+    print(f"\tOutput (registered) image size {size1[0]} x {size1[1]} x {size1[2]}")
+    print("... Parameters:")
+    print(f"\tInitial transformation matrix: "
+          f"{fp.get('-itmx') if fp.has('-itmx') else 'Default'}")
+    print(f"\tSave output transformation matrix: "
+          f"{fp.get('-otmx') if fp.has('-otmx') else 'no'}")
+    if reg_choice not in REG_CHOICE_NAMES:
+        print("\tWrong registration choice, processing stopped !!!")
+        return False
+    print(f"\tRegistration choice: {REG_CHOICE_NAMES[reg_choice]}")
+    if reg_choice >= 2:
+        if aff_method not in AFF_METHOD_NAMES:
+            print("\tWrong affine registration method, processing stopped !!!")
+            return False
+        print(f"\tAffine registration method: {AFF_METHOD_NAMES[aff_method]}")
+    print(f"\tTolerance or threshold: {ftol:f}")
+    print(f"\tMaximum iteration number: {it_limit}")
+    if mem_mode not in MEM_MODE_NAMES:
+        print("\tWrong memory mode setting, processing stopped !!!")
+        return False
+    print(f"\tCPU or device processing: {MEM_MODE_NAMES[mem_mode]}")
+    if mem_mode != 0:
+        print(f"\tDevice number: {device_num}")
+    suffix = ", same as input image" if flag_bit_input else ""
+    print(f"\tOutput image bit: {bit_out} bit{suffix}")
+    print(f"\tverbose information: {'true' if verbose else 'false'}")
+    print("=====================================================\n")
+    return True
 
 
 def main(argv=None):
@@ -75,15 +142,25 @@ def main(argv=None):
     verbose = not fp.has("-verbOFF")
     start = time.time()
 
-    from microimagelib_tpu.io.tiff import writetifstack
+    from microimagelib_tpu.io.tiff import (
+        readtifstack_16to16,
+        writetifstack,
+        writetifstack_16to16,
+    )
     from microimagelib_tpu.io.tmx import read_tmx, write_tmx
-    from microimagelib_tpu.models.registration import reg3d
+    from microimagelib_tpu.models.registration import atrans3dgpu_16bit, reg3d
     from microimagelib_tpu.utils.device import get_device
 
-    _, bits_in = tifinfo_checked(file_tgt)
+    size1_info, bits_in = tifinfo_checked(file_tgt)
     bit_out = fp.get("-bit", int(bits_in), int)
+    mem_mode = fp.get("-gm", -1, int)
     img1, size1 = read_stack_checked(file_tgt, "target image")
     img2, size2 = read_stack_checked(file_src, "source image")
+    if not _print_settings_banner(fp, file_tgt, file_src, file_out, size1,
+                                  size2, reg_choice, aff_method, ftol,
+                                  it_limit, mem_mode, device_num, bit_out,
+                                  not fp.has("-bit"), verbose):
+        return 1
     tmx = None
     flag_tmx = False
     if fp.has("-itmx"):
@@ -95,10 +172,21 @@ def main(argv=None):
     print("=== Registration starting ...")
     reg, out_tmx, records = reg3d(
         img1, img2, reg_choice, aff_method, flag_tmx, tmx, ftol, it_limit,
-        device=get_device(device_num), verbose=verbose, records=records)
+        device=get_device(device_num), mem_mode=mem_mode, verbose=verbose,
+        records=records)
     time2 = time.time()
 
-    writetifstack(file_out, reg, bit_out)
+    if bit_out == 16 and int(bits_in) == 16 and size1 == size2:
+        # native 16-bit journey: re-read the source as u16 and apply the
+        # final matrix through the u16 transform path, as the reference
+        # does for -bit 16 (reference:src/api_reg.cpp:87-113
+        # atrans3dgpu_16bit)
+        src_u16, _ = readtifstack_16to16(file_src)
+        reg_u16 = atrans3dgpu_16bit(src_u16, out_tmx, np.asarray(img1).shape,
+                                    device=get_device(device_num))
+        writetifstack_16to16(file_out, reg_u16)
+    else:
+        writetifstack(file_out, reg, bit_out)
     if fp.has("-otmx"):
         write_tmx(fp.get("-otmx"), out_tmx)
     end = time.time()

@@ -112,6 +112,39 @@ def main(argv=None):
         if fp.has("-oreg2"):
             writetifstack(fp.get("-oreg2"), reg_b, int(bits_in))
 
+    # settings dump (reference:src/spim_fusion.cpp:368-430)
+    from microimagelib_tpu.models.fusion import fusion_sizes
+
+    size1_xyz = (img1.shape[2], img1.shape[1], img1.shape[0])
+    size2_xyz = (img2.shape[2], img2.shape[1], img2.shape[0])
+    out_xyz, _, _ = fusion_sizes(size1_xyz, size2_xyz, pixel_a, pixel_b, im_rotation)
+    print("=====================================================")
+    print("=== diSPIM fusion settings ...")
+    print("... Image information: ")
+    print(f"\tInput image 1 path: {fp.get('-i1')}")
+    print(f"\tInput image 2 path: {fp.get('-i2')}")
+    print(f"\tOutput image path: {fp.get('-o')}")
+    print(f"\tInput image 1 size {size1_xyz[0]} x {size1_xyz[1]} x {size1_xyz[2]}")
+    print(f"\t\t pixel size {pixel_a[0]:.4f} um x {pixel_a[1]:.4f} um x {pixel_a[2]:.4f} um")
+    print(f"\tInput image 2 size {size2_xyz[0]} x {size2_xyz[1]} x {size2_xyz[2]}")
+    print(f"\t\t pixel size {pixel_b[0]:.4f} um x {pixel_b[1]:.4f} um x {pixel_b[2]:.4f} um")
+    print(f"\tPSF image size {psf1.shape[2]} x {psf1.shape[1]} x {psf1.shape[0]}")
+    print(f"\tOutput image size {out_xyz[0]} x {out_xyz[1]} x {out_xyz[2]}")
+    print(f"\t\t pixel size {pixel_a[0]:.4f} um x {pixel_a[0]:.4f} um x {pixel_a[0]:.4f} um")
+    print("... Parameters:")
+    rot_text = {0: "no rotation", 1: "90 degree by Y axis", -1: "-90 degree by Y axis"}
+    print(f"\tImage 2 rotation: {rot_text.get(im_rotation, im_rotation)}")
+    print(f"\tRegistration choice: {reg_choice}; affine method: {aff_method}")
+    print(f"\tInitial transformation matrix: {fp.get('-itmx') if flag_tmx else 'Default'}")
+    print(f"\tRegistration tolerance: {ftol:f}; max sub-iterations: {it_reg}")
+    print(f"\tUse unmatched backward projectors: {'yes' if psf1_bp is not None else 'no'}")
+    print(f"\tIteration number for joint deconvolution: {n_iters}")
+    print(f"\tConstant initialization: {'on' if const_initial else 'off'}")
+    print(f"\tMemory mode: {fp.get('-gm', -1, int)} (-1 auto, 0 CPU, 1 HBM-resident, 2 host-staged)")
+    print(f"\tDevice number: {device_num}")
+    print(f"\tOutput image bit: {bit_out} bit")
+    print("=====================================================\n")
+
     records = np.zeros(22)
     decon, out_tmx, _, _ = fusion_dualview(
         img1, img2, psf1, psf2, pixel_a, pixel_b, im_rotation,

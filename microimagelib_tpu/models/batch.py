@@ -216,19 +216,58 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
 
     timepoints = _timepoint_list(cfg)
 
-    # --- log header ---
+    # --- log header: the full settings dump the reference writes before
+    # processing (reference:src/spim_fusion_batch.cpp:455-524) ---
+    from microimagelib_tpu.models.fusion import fusion_sizes
+
+    first_t = timepoints[0] if timepoints else cfg.img_start
+    size1_in = gettifinfo(os.path.join(cfg.in_dir1, f"{cfg.name1}{first_t}.tif"))[0]
+    size2_in = gettifinfo(os.path.join(cfg.in_dir2, f"{cfg.name2}{first_t}.tif"))[0]
+    psf_size = (psf1.shape[2], psf1.shape[1], psf1.shape[0])
+    out_size, _, _ = fusion_sizes(size1_in, size2_in, cfg.pixel1, cfg.pixel2,
+                                  cfg.im_rotation)
+    px1, py1, pz1 = cfg.pixel1
+    px2, py2, pz2 = cfg.pixel2
+    reg_mode_text = {
+        0: "...No registration\n",
+        1: f"...One registration for all images, test image number: {cfg.img_test}\n",
+        2: "...Perform registration for all images dependently\n",
+        3: "...Perform registration for all images independently\n",
+    }.get(cfg.reg_mode, "...regMode incorrect !!!\n")
+    rot_text = {
+        0: "...No rotation on image B\n",
+        1: "...Rotate image B by 90 degree along Y axis\n",
+        -1: "...Rotate image B by -90 degree along Y axis\n",
+    }.get(cfg.im_rotation, "")
+    itmx_text = {
+        1: "...Initial transformation matrix: based on input matrix\n",
+        2: "...Initial transformation matrix: by 3D phase translation\n",
+        3: "...Initial transformation matrix: by 2D registration\n",
+    }.get(cfg.flag_initial_tmx, "...Initial transformation matrix: Default\n")
     with open(log_path, "w") as f:
         f.write(f"microimagelib_tpu spimFusionBatch: {time.ctime()}\n")
         f.write("Single color data:\n")
         f.write(f"...SPIMA input directory: {cfg.in_dir1}\n")
         f.write(f"...SPIMB input directory: {cfg.in_dir2}\n")
         f.write(f"...Output directory: {cfg.out_dir}\n")
+        f.write("\nImage information:\n")
+        f.write(f"\tInput image 1 size {size1_in[0]} x {size1_in[1]} x {size1_in[2]}\n")
+        f.write(f"\t\t pixel size {px1:.4f} um x {py1:.4f} um x {pz1:.4f} um\n")
+        f.write(f"\tInput image 2 size {size2_in[0]} x {size2_in[1]} x {size2_in[2]}\n")
+        f.write(f"\t\t pixel size {px2:.4f} um x {py2:.4f} um x {pz2:.4f} um\n")
+        f.write(f"\tPSF image size {psf_size[0]} x {psf_size[1]} x {psf_size[2]}\n")
+        f.write(f"\t\t pixel size {px1:.4f} um x {px1:.4f} um x {px1:.4f} um\n")
+        f.write(f"\tOutput image size {out_size[0]} x {out_size[1]} x {out_size[2]}\n")
+        f.write(f"\t\t pixel size {px1:.4f} um x {px1:.4f} um x {px1:.4f} um\n")
         f.write(f"\tImage number from {cfg.img_start} to {cfg.img_end} with step {cfg.img_interval}\n")
-        f.write(f"...Registration mode: {cfg.reg_mode}\n")
+        f.write(reg_mode_text)
+        f.write(rot_text)
+        f.write(itmx_text)
         f.write(f"...Registration convergence threshold:{cfg.ftol:f}\n")
         f.write(f"...Registration maximum sub-iteration number:{cfg.it_limit}\n")
-        f.write(f"...Unmatched back projectors for joint deconvolution: {'yes' if unmatch else 'no'}\n")
+        f.write(f"\n...Unmatched back projectors for joint deconvolution: {'yes' if unmatch else 'no'}\n")
         f.write(f"...Iteration number for joint deconvolution:{cfg.it_num_decon}\n")
+        f.write(f"\n...Device {cfg.device_num} is used...\n\n")
 
     def img_paths(t):
         return (os.path.join(cfg.in_dir1, f"{cfg.name1}{t}.tif"),

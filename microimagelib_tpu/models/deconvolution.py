@@ -237,13 +237,18 @@ def decon_singleview(img, psf, n_iters=20, const_initial=False, psf_bp=None,
         padded = (np_pad_stack_edge(img_np, fft_shape)
                   if tuple(img_np.shape) != fft_shape else img_np)
         t2 = time.time()
+        if records is not None:
+            records[2] = free_memory_mb(device)
         est = rl_decon_single_streamed(padded, otf, otf_bp, n_iters,
                                        const_initial,
                                        budget_bytes=hbm_budget_bytes(device))
+        if records is not None:
+            records[3] = free_memory_mb(device)
         out_np = np.asarray(np_crop_center(est, img_np.shape))
         t3 = time.time()
         if records is not None:
             records[0] = 2
+            records[4] = free_memory_mb(device)
             records[5] = free_memory_mb(device)
             records[6] = t1 - t0
             records[7] = t2 - t1
@@ -270,13 +275,18 @@ def decon_singleview(img, psf, n_iters=20, const_initial=False, psf_bp=None,
         otf_bp = gen_otf(flip3(psf), fft_shape, normalize=True)
     padded = _prep_pad(img, fft_shape)
     t2 = time.time()
+    if records is not None:
+        records[2] = free_memory_mb(device)
 
     est = rl_decon_single(padded, otf, otf_bp, n_iters, const_initial)
+    if records is not None:
+        records[3] = free_memory_mb(device)
     out = crop_center(est, img.shape) if fft_shape != tuple(img.shape) else est
     out_np = np.asarray(out)
     t3 = time.time()
     if records is not None:
         records[0] = mode
+        records[4] = free_memory_mb(device)
         records[5] = free_memory_mb(device)
         records[6] = t1 - t0
         records[7] = t2 - t1
@@ -331,14 +341,19 @@ def decon_dualview(img_a, img_b, psf_a, psf_b, n_iters=10, const_initial=False,
         pad_b = (np_pad_stack_edge(img_b_np, fft_shape)
                  if tuple(img_b_np.shape) != fft_shape else img_b_np)
         t2 = time.time()
+        if records is not None:
+            records[2] = free_memory_mb(device)
         est = rl_decon_dual_streamed(pad_a, pad_b, otf_a_h, otf_b_h,
                                      otf_bp_a_h, otf_bp_b_h, n_iters,
                                      const_initial,
                                      budget_bytes=hbm_budget_bytes(device))
+        if records is not None:
+            records[3] = free_memory_mb(device)
         out_np = np.asarray(np_crop_center(est, img_a_np.shape))
         t3 = time.time()
         if records is not None:
             records[0] = 2
+            records[4] = free_memory_mb(device)
             records[5] = free_memory_mb(device)
             records[6] = t1 - t0
             records[7] = t2 - t1
@@ -368,13 +383,18 @@ def decon_dualview(img_a, img_b, psf_a, psf_b, n_iters=10, const_initial=False,
     pad_a = _prep_pad(img_a, fft_shape)
     pad_b = _prep_pad(img_b, fft_shape)
     t2 = time.time()
+    if records is not None:
+        records[2] = free_memory_mb(device)
 
     est = rl_decon_dual(pad_a, pad_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters, const_initial)
+    if records is not None:
+        records[3] = free_memory_mb(device)
     out = crop_center(est, img_a.shape) if fft_shape != tuple(img_a.shape) else est
     out_np = np.asarray(out)
     t3 = time.time()
     if records is not None:
         records[0] = mode
+        records[4] = free_memory_mb(device)
         records[5] = free_memory_mb(device)
         records[6] = t1 - t0
         records[7] = t2 - t1

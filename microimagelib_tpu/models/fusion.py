@@ -111,7 +111,16 @@ def fusion_dualview(img_a, img_b, psf_a, psf_b,
     (reference:src/api_decon.cpp:1243-1248).
 
     save_reg_callback(a_iso, reg_b) lets drivers persist the registered
-    views without holding extra copies."""
+    views without holding extra copies.
+
+    ``records`` follows the reference's 22-slot fusionRecords contract
+    (reference:src/api_decon.cpp:1015-1016, :1233-1264): [0:11] the full
+    reg3d records, [11:21] the full decon records, [21] total fusion
+    seconds. (The reference writes [21] after freeing the buffer — a
+    documented defect we implement as intended, not as shipped.)"""
+    import time as _time
+
+    t0 = _time.time()
     if records is None:
         records = np.zeros(22, dtype=np.float64)
     a_iso, b_iso = preprocess_views(img_a, img_b, pixel_a, pixel_b, im_rotation, device, verbose)
@@ -126,7 +135,7 @@ def fusion_dualview(img_a, img_b, psf_a, psf_b,
         reg_b, out_tmx, reg_records = reg3d(
             a_iso, b_iso, 2, aff_method, flag_tmx, tmx,
             ftol, it_limit, device=device, verbose=verbose)
-    records[11:15] = reg_records[1], reg_records[3], reg_records[5], reg_records[7]
+    records[0:11] = np.asarray(reg_records[:11], dtype=np.float64)
 
     if save_reg_callback is not None:
         save_reg_callback(a_iso, reg_b)
@@ -136,5 +145,6 @@ def fusion_dualview(img_a, img_b, psf_a, psf_b,
         a_iso, reg_b, psf_a, psf_b, n_iters=n_iters, const_initial=const_initial,
         psf_bp_a=psf_bp_a, psf_bp_b=psf_bp_b, device=device, mem_mode=mem_mode,
         verbose=verbose, records=decon_records)
-    records[15:19] = decon_records[6:10]
+    records[11:21] = decon_records
+    records[21] = _time.time() - t0
     return decon, out_tmx, reg_b, a_iso

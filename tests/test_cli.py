@@ -238,3 +238,62 @@ def test_spim_fusion_batch_cli_mesh(tmp_path, monkeypatch):
     assert main(args) == 0
     assert (tmp_path / "out" / "Decon" / "Decon_0.tif").exists()
     assert (tmp_path / "out" / "Decon" / "Decon_1.tif").exists()
+
+
+def test_reg3d_cli_settings_banner(tmp_path, capsys):
+    from microimagelib_tpu.cli.reg3d import main
+
+    vol = blobs((16, 16, 16), n=6, seed=3)
+    moved = np.roll(vol, 1, axis=2)
+    writetifstack(str(tmp_path / "t.tif"), vol, 32)
+    writetifstack(str(tmp_path / "s.tif"), moved, 32)
+    rc = main(["-t", str(tmp_path / "t.tif"), "-s", str(tmp_path / "s.tif"),
+               "-o", str(tmp_path / "r.tif"), "-regc", "2", "-affm", "1",
+               "-verbOFF"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "=== Registration settings ..." in out
+    assert "Registration choice: affine registration" in out
+    assert "Affine registration method: translation only" in out
+    assert "Tolerance or threshold" in out
+    assert "Output image bit: 32 bit" in out
+
+
+def test_reg3d_cli_u16_native_journey(tmp_path):
+    from microimagelib_tpu.cli.reg3d import main
+    from microimagelib_tpu.io.tiff import gettifinfo, readtifstack_16to16
+    from microimagelib_tpu.models.registration import atrans3dgpu_16bit
+
+    vol = (blobs((16, 16, 16), n=6, seed=4) * 50 + 100).astype(np.uint16)
+    moved = np.roll(vol, 2, axis=2)
+    writetifstack(str(tmp_path / "t.tif"), vol.astype(np.float32), 16)
+    writetifstack(str(tmp_path / "s.tif"), moved.astype(np.float32), 16)
+    rc = main(["-t", str(tmp_path / "t.tif"), "-s", str(tmp_path / "s.tif"),
+               "-o", str(tmp_path / "r.tif"), "-regc", "1",
+               "-otmx", str(tmp_path / "m.tmx"), "-verbOFF"])
+    assert rc == 0
+    # output stays 16-bit and matches the u16 transform path applied to
+    # the re-read u16 source (reference:src/api_reg.cpp:87-113 semantics)
+    _, bits = gettifinfo(str(tmp_path / "r.tif"))
+    assert bits == 16
+    out_u16, _ = readtifstack_16to16(str(tmp_path / "r.tif"))
+    src_u16, _ = readtifstack_16to16(str(tmp_path / "s.tif"))
+    m = read_tmx(str(tmp_path / "m.tmx"))
+    expect = atrans3dgpu_16bit(src_u16, m, (16, 16, 16))
+    np.testing.assert_array_equal(out_u16, expect)
+
+
+def test_decon_sv_cli_settings_banner(tmp_path, capsys):
+    from microimagelib_tpu.cli.decon_sv import main
+
+    img = blobs((16, 16, 16), n=6, seed=5) + 10
+    psf = gaussian_psf((5, 5, 5), 1.0)
+    writetifstack(str(tmp_path / "i.tif"), img, 32)
+    writetifstack(str(tmp_path / "p.tif"), psf, 32)
+    rc = main(["-i", str(tmp_path / "i.tif"), "-fp", str(tmp_path / "p.tif"),
+               "-o", str(tmp_path / "d.tif"), "-it", "3", "-verbOFF"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "=== Deconvolution settings ..." in out
+    assert "Iteration number of the deconvolution: 3" in out
+    assert "Memory mode: -1" in out

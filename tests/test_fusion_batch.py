@@ -224,3 +224,69 @@ def test_mp2d_packed_layout(rng):
     # unselected panels stay zero
     buf2, _ = mp2d_packed(vol, z_proj=True, x_proj=False, y_proj=False)
     assert np.all(buf2[sx * sy :] == 0)
+
+
+def test_fusion_records_full_contract():
+    """All 22 fusionRecords slots are populated per the reference contract
+    (reference:src/api_decon.cpp:1015-1016): [0:11] regRecords, [11:21]
+    deconRecords, [21] total time."""
+    from microimagelib_tpu.models.fusion import fusion_dualview
+
+    a = blobs((12, 24, 24), n=8, seed=21) + 5
+    b = np.roll(a, 1, axis=2) + 0.1
+    psf = gaussian_psf((5, 5, 5), 1.0)
+    rec = np.zeros(22)
+    fusion_dualview(a, b, psf, psf, pixel_a=(1, 1, 1), pixel_b=(1, 1, 1),
+                    im_rotation=0, reg_choice=2, aff_method=7, n_iters=2,
+                    records=rec)
+    # reg records: [0] flag, [1] initial NCC, [2] intermediate NCC (method
+    # 7), [3] final NCC, [4] per-eval ms, [5] evals, [6] iter s, [7] total
+    # s, [8..10] memory snapshots (-1 when the backend has no stats)
+    assert rec[0] == 1
+    assert rec[1] != 0 and rec[2] != 0 and rec[3] != 0
+    assert rec[4] > 0 and rec[5] > 0 and rec[6] > 0 and rec[7] > 0
+    assert rec[8] != 0 and rec[9] != 0 and rec[10] != 0
+    # decon records: [11] mode, [12..16] memory snapshots, [17..20] timers
+    assert rec[11] in (0, 1, 2)
+    assert all(rec[i] != 0 for i in range(12, 17))
+    assert rec[20] > 0  # decon total time
+    assert rec[21] > 0  # fusion total time
+
+
+def test_decon_records_memory_snapshots():
+    from microimagelib_tpu.models.deconvolution import decon_singleview
+
+    img = blobs((16, 16, 16), n=6, seed=22) + 5
+    psf = gaussian_psf((5, 5, 5), 1.0)
+    for mode in (1, 2):
+        rec = np.zeros(10)
+        decon_singleview(img, psf, n_iters=2, mem_mode=mode, records=rec)
+        assert rec[0] == mode
+        assert all(rec[i] != 0 for i in range(1, 6)), rec  # snapshots [1..5]
+        assert rec[9] > 0
+
+
+def test_batch_log_full_header(tmp_path):
+    in1, in2 = _write_batch_inputs(tmp_path, n_t=1)
+    out = tmp_path / "out"
+    cfg = BatchConfig(
+        out_dir=str(out), in_dir1=str(in1), in_dir2=str(in2),
+        name1="SPIMA_", name2="SPIMB_",
+        img_start=0, img_end=0, img_interval=1, img_test=0,
+        pixel1=(1.0, 1.0, 1.0), pixel2=(1.0, 1.0, 1.0),
+        reg_mode=0, im_rotation=0, flag_initial_tmx=0, tmx_file="",
+        ftol=1e-4, it_limit=300, save_reg_a=False, save_reg_b=False,
+        psf1_file=str(tmp_path / "psf1.tif"), psf2_file=str(tmp_path / "psf2.tif"),
+        it_num_decon=2, save_mp_z=False, save_mp_y=False, save_mp_x=False,
+        save_3d_x=False, save_3d_y=False, bit_per_sample=32,
+        query_device=False, device_num=0, verbose=False)
+    spim_fusion_batch(cfg)
+    log = (out / "ProcessingLog.txt").read_text()
+    for needle in ("Image information:", "Input image 1 size",
+                   "pixel size", "PSF image size", "Output image size",
+                   "Image number from", "No registration",
+                   "Registration convergence threshold",
+                   "Unmatched back projectors for joint deconvolution",
+                   "Iteration number for joint deconvolution",
+                   "is used..."):
+        assert needle in log, needle
