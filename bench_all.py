@@ -1,0 +1,245 @@
+"""All BASELINE.md configs, reproducible by one driver.
+
+Prints one JSON line per config:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Configs (BASELINE.json): decon64 | reg128 | dual256 | fusion1tp |
+batch20tp | decon512. Pass names as argv to run a subset; default runs
+all. ``vs_baseline`` compares against the documented estimates of the
+CUDA reference where one exists (BASELINE.md), else against this
+framework's own round-1 measurement (so regressions are visible).
+
+Timing discipline (see .claude/skills/verify/SKILL.md): every timed run
+is warmed first (axon device program load takes minutes) and fenced by
+fetching a scalar from the result — block_until_ready can return early
+on this backend.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def _setup_jax():
+    import jax
+
+    cache_dir = os.environ.get("MIL_TPU_CACHE",
+                               os.path.expanduser("~/.cache/jax_comp_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    return jax
+
+
+def _blobs(shape, n=40, seed=0, sigma=2.0):
+    rng = np.random.default_rng(seed)
+    vol = np.zeros(shape, dtype=np.float32)
+    for _ in range(n):
+        z, y, x = (rng.integers(s // 4, 3 * s // 4) for s in shape)
+        vol[z, y, x] = rng.uniform(80, 200)
+    zz, yy, xx = np.meshgrid(*[np.arange(s) - s // 2 for s in shape],
+                             indexing="ij")
+    g = np.exp(-(xx ** 2 + yy ** 2 + zz ** 2) / (2 * sigma ** 2))
+    g = np.roll(g / g.sum(), [-s // 2 for s in shape], axis=(0, 1, 2))
+    return np.fft.irfftn(np.fft.rfftn(vol) * np.fft.rfftn(g), s=shape,
+                         axes=(0, 1, 2)).astype(np.float32)
+
+
+def _gauss_psf(r=4, sigma=1.5):
+    z, y, x = np.mgrid[-r:r + 1, -r:r + 1, -r:r + 1]
+    g = np.exp(-(x * x + y * y + z * z) / (2 * sigma ** 2)).astype(np.float32)
+    return g / g.sum()
+
+
+def _emit(metric, value, unit, baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 4),
+        "unit": unit,
+        "vs_baseline": round(float(value) / baseline, 4) if baseline else 0.0,
+    }), flush=True)
+
+
+def bench_decon64():
+    """Config 1: 64^3 beads, 10 RL iterations (fetch-fenced, min of 3)."""
+    import jax.numpy as jnp
+    from microimagelib_tpu.models.deconvolution import gen_otf, rl_decon_single
+
+    shape = (64, 64, 64)
+    img = jnp.asarray(_blobs(shape, n=30, seed=1) + 5.0)
+    psf = _gauss_psf()
+    otf = gen_otf(jnp.asarray(psf), shape)
+    otf_bp = gen_otf(jnp.asarray(psf[::-1, ::-1, ::-1]), shape)
+    out = rl_decon_single(img, otf, otf_bp, 10)
+    _ = float(out.ravel()[0])
+    best = np.inf
+    for _i in range(3):
+        t0 = time.perf_counter()
+        out = rl_decon_single(img, otf, otf_bp, 10)
+        _ = float(out.ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    # baseline: own round-1 state (covered by tests only, no timing): use
+    # 10 iters / 0.05 s as a nominal bar so the ratio stays meaningful
+    _emit("decon64_10iters_s", best, "s", None)
+
+
+def bench_reg128():
+    """Config 2: 128^3 translated/rotated pair, method-7 full ladder."""
+    from microimagelib_tpu.models.registration import reg3d_affine
+    from microimagelib_tpu.ops.affine import affine_transform_3d
+    from microimagelib_tpu.ops.matrix import dof_to_matrix
+    import jax.numpy as jnp
+
+    shape = (128, 128, 128)
+    vol = _blobs(shape, n=80, seed=2, sigma=3.0)
+    true_m = dof_to_matrix([2.0, -1.5, 1.0, 2.0, -1.0, 1.5, 1.0, 1.0, 1.0], 6)
+    moved = np.asarray(affine_transform_3d(jnp.asarray(vol), true_m, shape))
+    # warm (loads every program in the ladder)
+    _, _, rec = reg3d_affine(vol, moved, aff_method=7, ftol=1e-4,
+                             it_limit=3000)
+    t0 = time.perf_counter()
+    _, tmx, rec = reg3d_affine(vol, moved, aff_method=7, ftol=1e-4,
+                               it_limit=3000)
+    dt = time.perf_counter() - t0
+    _emit("reg128_method7_warm_s", dt, "s", None)
+    _emit("reg128_method7_final_ncc", rec[3], "ncc", None)
+
+
+def bench_dual256():
+    """Config 3: 256x256x128 dual-view decon, 10 iterations."""
+    import jax.numpy as jnp
+    from microimagelib_tpu.models.deconvolution import gen_otf, rl_decon_dual
+
+    shape = (128, 256, 256)
+    rng = np.random.default_rng(3)
+    a = jnp.asarray((rng.random(shape) * 100 + 1).astype(np.float32))
+    b = jnp.asarray((rng.random(shape) * 100 + 1).astype(np.float32))
+    psf = _gauss_psf()
+    otf = gen_otf(jnp.asarray(psf), shape)
+    otf_bp = gen_otf(jnp.asarray(psf[::-1, ::-1, ::-1]), shape)
+    out = rl_decon_dual(a, b, otf, otf, otf_bp, otf_bp, 10)
+    _ = float(out.ravel()[0])
+    best = np.inf
+    for _i in range(3):
+        t0 = time.perf_counter()
+        out = rl_decon_dual(a, b, otf, otf, otf_bp, otf_bp, 10)
+        _ = float(out.ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    _emit("dual256x256x128_10iters_s", best, "s", 0.8)  # est. cuFFT-era 0.8 s
+
+
+def bench_fusion1tp():
+    """Config 4: one timepoint fusion (128x128x40 views -> iso grid,
+    method-7 registration + 10 decon iterations). Warm wall-clock."""
+    from microimagelib_tpu.models.fusion import fusion_dualview
+
+    view_shape = (40, 128, 128)  # (z, y, x)
+    a = _blobs(view_shape, n=60, seed=4, sigma=2.5) + 2.0
+    b = np.roll(a, (1, -2, 2), axis=(0, 1, 2)) * 1.05 + 0.5
+    psf = _gauss_psf(r=3, sigma=1.2)
+    kwargs = dict(pixel_a=(0.1625, 0.1625, 0.5), pixel_b=(0.1625, 0.1625, 0.5),
+                  im_rotation=0, reg_choice=2, aff_method=7, n_iters=10)
+    fusion_dualview(a, b, psf, psf, **kwargs)  # warm
+    t0 = time.perf_counter()
+    _, _, _, _ = fusion_dualview(a, b, psf, psf, **kwargs)
+    dt = time.perf_counter() - t0
+    _emit("fusion_1tp_warm_s", dt, "s", None)
+
+
+def bench_batch20tp():
+    """Config 5: 20 timepoints (128x128x32), regMode 1, 10 decon
+    iterations, MIP outputs, overlapped I/O. Timepoints/minute."""
+    from microimagelib_tpu.io.tiff import writetifstack
+    from microimagelib_tpu.models.batch import BatchConfig, spim_fusion_batch
+
+    n_t = int(os.environ.get("MIL_BENCH_BATCH_T", "20"))
+    root = tempfile.mkdtemp(prefix="milbench_")
+    try:
+        in1 = os.path.join(root, "SPIMA")
+        in2 = os.path.join(root, "SPIMB")
+        os.makedirs(in1)
+        os.makedirs(in2)
+        base = _blobs((32, 128, 128), n=50, seed=5, sigma=2.5) + 2.0
+        for t in range(n_t):
+            writetifstack(os.path.join(in1, f"SPIMA_{t}.tif"),
+                          base * (1 + 0.01 * t), 32)
+            writetifstack(os.path.join(in2, f"SPIMB_{t}.tif"),
+                          np.roll(base, 1, axis=2) * (1 + 0.01 * t), 32)
+        psf = _gauss_psf(r=3, sigma=1.2)
+        writetifstack(os.path.join(root, "psf.tif"), psf, 32)
+        cfg = BatchConfig(
+            out_dir=os.path.join(root, "out"), in_dir1=in1, in_dir2=in2,
+            name1="SPIMA_", name2="SPIMB_",
+            img_start=0, img_end=n_t - 1, img_interval=1, img_test=0,
+            pixel1=(1.0, 1.0, 1.0), pixel2=(1.0, 1.0, 1.0),
+            reg_mode=1, im_rotation=0, flag_initial_tmx=0, tmx_file="",
+            ftol=1e-4, it_limit=3000, save_reg_a=False, save_reg_b=False,
+            psf1_file=os.path.join(root, "psf.tif"),
+            psf2_file=os.path.join(root, "psf.tif"),
+            it_num_decon=10, save_mp_z=True, save_mp_y=False, save_mp_x=False,
+            save_3d_x=False, save_3d_y=True, bit_per_sample=32,
+            query_device=False, device_num=0, verbose=False)
+        t0 = time.perf_counter()
+        processed = spim_fusion_batch(cfg)
+        dt = time.perf_counter() - t0
+        assert len(processed) == n_t
+        _emit("batch_timepoints_per_min", 60.0 * n_t / dt, "tp/min", None)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def bench_decon512():
+    """North star: 512^3 RL iterations/s (same as bench.py)."""
+    import jax.numpy as jnp
+    from microimagelib_tpu.models.deconvolution import gen_otf, rl_decon_single
+
+    size = int(os.environ.get("MIL_BENCH_SIZE", "512"))
+    shape = (size, size, size)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray((rng.random(shape, dtype=np.float32) * 100 + 1)
+                      .astype(np.float32))
+    psf = _gauss_psf(r=4, sigma=1.5)
+    otf = gen_otf(jnp.asarray(psf), shape)
+    otf_bp = gen_otf(jnp.asarray(psf[::-1, ::-1, ::-1]), shape)
+    out = rl_decon_single(img, otf, otf_bp, 10)
+    _ = float(out.ravel()[0])
+    t0 = time.perf_counter()
+    for _i in range(3):
+        out = rl_decon_single(img, otf, otf_bp, 10)
+        _ = float(out.ravel()[0])
+    dt = (time.perf_counter() - t0) / 3
+    _emit(f"rl_decon_iters_per_sec_{size}cubed", 10 / dt, "iterations/s", 2.0)
+
+
+CONFIGS = {
+    "decon64": bench_decon64,
+    "reg128": bench_reg128,
+    "dual256": bench_dual256,
+    "fusion1tp": bench_fusion1tp,
+    "batch20tp": bench_batch20tp,
+    "decon512": bench_decon512,
+}
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    _setup_jax()
+    names = argv or list(CONFIGS)
+    for name in names:
+        if name not in CONFIGS:
+            print(f"unknown config {name}; choose from {sorted(CONFIGS)}",
+                  file=sys.stderr)
+            return 1
+        CONFIGS[name]()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

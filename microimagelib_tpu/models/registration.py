@@ -14,9 +14,12 @@ TPU-native design points:
   * The 2D MIP shift-grid search evaluates its whole (2*totalStep)^2
     candidate grid in chunked vmapped device calls instead of serial
     kernel launches (reference loop: src/api_subfunc.cu:1951-1971).
-  * ``gpuMemMode`` is accepted for API parity; there is a single
-    HBM-resident path (mesh sharding in microimagelib_tpu.parallel covers
-    beyond-HBM volumes).
+  * ``gpuMemMode`` maps to real tiers: the affine ladder's resident set
+    already matches the reference's memory-saving ``reg3d_affine2``
+    (2 volumes); mem_mode 2 additionally streams final transforms and
+    switches the phasor to its host-staged variant (``reg3d_phasor2``
+    analog). Mesh sharding in microimagelib_tpu.parallel covers
+    multi-chip beyond-HBM volumes.
 """
 
 from __future__ import annotations
@@ -80,10 +83,29 @@ def checkmatrix(m, sx, sy, sz):
 # Standalone affine application (atrans3dgpu equivalents)
 # --------------------------------------------------------------------------
 
-def atrans3dgpu(img2, tmx, out_shape_zyx, device=None):
+def atrans3dgpu(img2, tmx, out_shape_zyx, device=None, mem_mode=-1):
     """Apply a 3x4 matrix to a volume, producing ``out_shape_zyx``
-    (reference:src/api_reg.cpp:58-85). numpy in/out."""
-    src = jnp.asarray(img2, dtype=jnp.float32)
+    (reference:src/api_reg.cpp:58-85). numpy in/out.
+
+    mem_mode 2 (or auto when the two volumes exceed the probed budget)
+    streams the transform: the source stays in host memory and each
+    output z-block uploads only its bounded source window (the beyond-HBM
+    analog of the reference's memory-saving tier)."""
+    from microimagelib_tpu.models.deconvolution import hbm_budget_bytes
+    from microimagelib_tpu.ops.affine import affine_transform_3d_streamed
+
+    img2 = np.asarray(img2, np.float32)
+    use_stream = mem_mode == 2
+    if mem_mode == -1:
+        budget = hbm_budget_bytes(device)
+        need = 4 * (img2.size + int(np.prod(out_shape_zyx))) * 4
+        if budget is not None and need > budget * 0.92:
+            use_stream = True
+    if use_stream:
+        return affine_transform_3d_streamed(
+            img2, np.asarray(tmx, np.float32), tuple(out_shape_zyx),
+            budget_bytes=hbm_budget_bytes(device))
+    src = jnp.asarray(img2)
     if device is not None:
         src = jax.device_put(src, device)
     out = affine_transform_3d(src, np.asarray(tmx, np.float32), tuple(out_shape_zyx))
@@ -557,11 +579,38 @@ def reg2d_affine(img1, img2, tmx_init=None, aff_method=1, ftol=1e-4, it_limit=30
 # 3D Powell affine registration core
 # --------------------------------------------------------------------------
 
+def _final_transform(img2, aff_coef, out_shape, mem_mode):
+    """Final re-sample of the ORIGINAL source; mem_mode 2 streams it
+    through host-staged z-windows (beyond-HBM tier)."""
+    if mem_mode == 2:
+        from microimagelib_tpu.models.deconvolution import hbm_budget_bytes
+        from microimagelib_tpu.ops.affine import affine_transform_3d_streamed
+
+        return affine_transform_3d_streamed(
+            np.asarray(img2, np.float32), np.asarray(aff_coef, np.float32),
+            tuple(out_shape), budget_bytes=hbm_budget_bytes(None))
+    return affine_transform_3d(img2, aff_coef, out_shape)
+
+
+# Typical whole-ladder cost-eval counts per affMethod (from measured
+# method-7 runs, ~1400 evals; lower-DOF methods converge in fewer) —
+# used only to PROJECT runtime for the watchdog gate, never to cap it.
+_LADDER_EVAL_ESTIMATE = {1: 250, 2: 450, 3: 550, 4: 700, 5: 900, 6: 1100,
+                         7: 1400}
+
+
 def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
                  it_limit=3000, verbose=False, records=None, device=None,
-                 engine="auto"):
+                 engine="auto", mem_mode=-1):
     """Core 3D affine registration (``reg3d_affine1``,
     reference:src/api_subfunc.cu:2732-2994).
+
+    Memory tier: the ladder's device working set is already the
+    reference's memory-saving ``reg3d_affine2`` profile (one source + one
+    target volume resident, reference:src/api_subfunc.cu:2995-3266);
+    ``mem_mode=2`` additionally streams the FINAL full-volume transform
+    through bounded host-staged windows instead of materializing source
+    and output on device together.
 
     img1: target (fixed), img2: source (moving), equal (z, y, x) shapes.
     aff_method 0-7 as the reference ladder; flag_tmx/tmx is the input
@@ -658,12 +707,28 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
             engine = "device"
         else:
             # accelerator: the single-program ladder is fastest, but very
-            # long single executions can trip device watchdogs on large
-            # volumes; with the Pallas NCC cost (6 ms/eval at 128^3) whole
-            # ladders stay well under the limit up to 128^3 — fall back to
-            # the hybrid one-call-per-linmin engine above the voxel budget
-            max_vox = int(os.environ.get("MIL_DEVICE_LADDER_MAX_VOXELS", str(128 ** 3)))
-            engine = "device" if total <= max_vox else "hybrid"
+            # long single executions can trip device watchdogs (observed:
+            # a 128^3 ladder at gather-cost speed ~240 s crashed the
+            # worker; at Pallas speed ~8 s it is fine). Project the whole-
+            # ladder runtime from a MEASURED warm cost eval and fall back
+            # to the hybrid one-call-per-linmin engine above the budget.
+            # MIL_DEVICE_LADDER_MAX_VOXELS restores the fixed voxel gate.
+            max_vox_env = os.environ.get("MIL_DEVICE_LADDER_MAX_VOXELS")
+            if max_vox_env is not None:
+                engine = "device" if total <= int(max_vox_env) else "hybrid"
+            else:
+                t_e = time.perf_counter()
+                cost12(p_init)  # warm (initial_cost above compiled it);
+                # cost_from_matrix fetches scalars, so this is fenced
+                per_eval_s = time.perf_counter() - t_e
+                est_evals = min(int(it_limit),
+                                _LADDER_EVAL_ESTIMATE.get(aff_method, 1400))
+                budget = float(os.environ.get("MIL_DEVICE_LADDER_BUDGET_S", "90"))
+                engine = ("device" if per_eval_s * est_evals <= budget
+                          else "hybrid")
+                if verbose:
+                    print(f"\t... engine auto: {per_eval_s*1e3:.1f} ms/eval x "
+                          f"~{est_evals} evals -> {engine}")
 
     if engine == "hybrid" and aff_method in (1, 2, 3, 4, 5, 6, 7):
         from microimagelib_tpu.models.registration_device import (
@@ -736,7 +801,7 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
             print(f"\t... optimized cross correlation value: {-fret:f};")
             print(f"\t... total sub iteration number: {counter.count};")
             print(f"\t... time cost for all iterations: {records[6]:f} s;")
-        reg = affine_transform_3d(img2, aff_coef, img1.shape)
+        reg = _final_transform(img2, aff_coef, img1.shape, mem_mode)
         records[7] = time.time() - t_start
         if verbose:
             print(f"\t... time cost for registration: {records[7]:f} s;")
@@ -768,7 +833,7 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
             print(f"\t... optimized cross correlation value: {-fret:f};")
             print(f"\t... total sub iteration number: {counter.count};")
             print(f"\t... time cost for all iterations: {records[6]:f} s;")
-        reg = affine_transform_3d(img2, aff_coef, img1.shape)
+        reg = _final_transform(img2, aff_coef, img1.shape, mem_mode)
         records[7] = time.time() - t_start
         if verbose:
             print(f"\t... time cost for registration: {records[7]:f} s;")
@@ -843,7 +908,7 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
         print(f"\t... total sub iteration number: {counter.count};")
         print(f"\t... time cost for all iterations: {records[6]:f} s;")
 
-    reg = affine_transform_3d(img2, aff_coef, img1.shape)
+    reg = _final_transform(img2, aff_coef, img1.shape, mem_mode)
     records[7] = time.time() - t_start
     if verbose:
         print(f"\t... time cost for registration: {records[7]:f} s;")
@@ -932,7 +997,7 @@ def _auto_pool_factors(shape, budget=96 ** 3):
 
 def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
                          ftol=1e-4, it_limit=3000, verbose=False, records=None,
-                         device=None, engine="auto", factor=None):
+                         device=None, engine="auto", factor=None, mem_mode=-1):
     """Coarse-to-fine affine registration: run the DOF ladder on a
     mean-pooled pair (where each cost evaluation is factor^3 cheaper),
     then polish with a full-resolution 12-DOF stage seeded by the scaled
@@ -949,15 +1014,18 @@ def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
     total = img1.size
     if aff_method == 0:
         return reg3d_affine(img1, img2, 0, flag_tmx, tmx, ftol,
-                            it_limit, verbose, records, device, engine)
+                            it_limit, verbose, records, device, engine,
+                            mem_mode)
     if factor is None:
         factor = _auto_pool_factors(img1.shape)
     if np.isscalar(factor) and factor <= 1:
         return reg3d_affine(img1, img2, aff_method, flag_tmx, tmx, ftol,
-                            it_limit, verbose, records, device, engine)
+                            it_limit, verbose, records, device, engine,
+                            mem_mode)
     if all(v == 1 for v in _pool_factors(factor)):
         return reg3d_affine(img1, img2, aff_method, flag_tmx, tmx, ftol,
-                            it_limit, verbose, records, device, engine)
+                            it_limit, verbose, records, device, engine,
+                            mem_mode)
     c1 = _mean_pool(img1, factor)
     c2 = _mean_pool(img2, factor)
     tmx_c = _tmx_full_to_coarse(tmx, factor) if (flag_tmx and tmx is not None) else None
@@ -976,7 +1044,7 @@ def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
         print(f"\t... pyramid: full-resolution polish (method {polish_method})")
     reg, m_full, records = reg3d_affine(img1, img2, polish_method, True, m_init,
                                         ftol, it_limit, verbose, records, device,
-                                        engine)
+                                        engine, mem_mode)
     records[2] = rec_c[3]  # coarse-stage NCC as the intermediate record
     return reg, m_full, records
 
@@ -1018,9 +1086,10 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
     def run_affine(i1, i2, method, flag, mx):
         if pyramid:
             return reg3d_affine_pyramid(i1, i2, method, flag, mx, ftol, it_limit,
-                                        verbose, records, device, engine)
+                                        verbose, records, device, engine,
+                                        mem_mode=mem_mode)
         return reg3d_affine(i1, i2, method, flag, mx, ftol, it_limit,
-                            verbose, records, device, engine)
+                            verbose, records, device, engine, mem_mode)
 
     def run_phasor(i1, i2):
         # memory-saving phasor tier (the reference's reg3d_phasor2,

@@ -197,6 +197,122 @@ def corr3d_partials_window(src_win, target_block, tmx, z0_out, win_start,
     return jnp.sum(s * s), jnp.sum(s * target_block)
 
 
+@partial(jax.jit, static_argnames=("block_shape",))
+def affine_transform_3d_window(src_win, tmx, block_shape, z0_out, win_start,
+                               sz_global):
+    """Resample a z-BLOCK of output rows from a z-WINDOW of the source —
+    the streaming building block for beyond-HBM affine transforms (the
+    reference's memory-saving tier keeps one volume + one texture array
+    resident, reference:src/api_subfunc.cu:2995-3266; here the source can
+    stay in HOST memory and only the window visits the device).
+
+    Same +0.5 texel / clamp / zero-outside semantics as
+    ``affine_transform_3d`` with the validity box and clamping evaluated
+    against the GLOBAL z extent; concatenating blocks over the full
+    output grid reproduces the unstreamed result exactly, provided each
+    window covers its block's valid-sample footprint."""
+    wz, sy, sx = src_win.shape
+    bz, oy_n, ox_n = block_shape
+    tmx = jnp.asarray(tmx, dtype=jnp.float32)
+    xs = jnp.arange(ox_n, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(oy_n, dtype=jnp.float32)[None, :, None]
+    zs = (jnp.asarray(z0_out, jnp.float32)
+          + jnp.arange(bz, dtype=jnp.float32))[:, None, None]
+    m = tmx.reshape(3, 4)
+    cx = m[0, 0] * xs + m[0, 1] * ys + m[0, 2] * zs + m[0, 3]
+    cy = m[1, 0] * xs + m[1, 1] * ys + m[1, 2] * zs + m[1, 3]
+    cz = m[2, 0] * xs + m[2, 1] * ys + m[2, 2] * zs + m[2, 3]
+
+    valid = (cx >= -0.5) & (cy >= -0.5) & (cz >= -0.5)
+    valid &= (cx < sx - 0.5) & (cy < sy - 0.5) & (cz < sz_global - 0.5)
+
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    z0 = jnp.floor(cz)
+    fx = cx - x0
+    fy = cy - y0
+    fz = cz - z0
+    x0r = x0.astype(jnp.int32)
+    y0r = y0.astype(jnp.int32)
+    z0r = z0.astype(jnp.int32)
+    x0i = jnp.clip(x0r, 0, sx - 1)
+    x1i = jnp.clip(x0r + 1, 0, sx - 1)
+    y0i = jnp.clip(y0r, 0, sy - 1)
+    y1i = jnp.clip(y0r + 1, 0, sy - 1)
+    z0i = jnp.clip(jnp.clip(z0r, 0, sz_global - 1) - win_start, 0, wz - 1)
+    z1i = jnp.clip(jnp.clip(z0r + 1, 0, sz_global - 1) - win_start, 0, wz - 1)
+
+    flat = src_win.reshape(-1)
+    syx = sy * sx
+    b00 = z0i * syx + y0i * sx
+    b01 = z0i * syx + y1i * sx
+    b10 = z1i * syx + y0i * sx
+    b11 = z1i * syx + y1i * sx
+    v000 = jnp.take(flat, b00 + x0i, mode="clip")
+    v001 = jnp.take(flat, b00 + x1i, mode="clip")
+    v010 = jnp.take(flat, b01 + x0i, mode="clip")
+    v011 = jnp.take(flat, b01 + x1i, mode="clip")
+    v100 = jnp.take(flat, b10 + x0i, mode="clip")
+    v101 = jnp.take(flat, b10 + x1i, mode="clip")
+    v110 = jnp.take(flat, b11 + x0i, mode="clip")
+    v111 = jnp.take(flat, b11 + x1i, mode="clip")
+    c00 = v000 + (v001 - v000) * fx
+    c01 = v010 + (v011 - v010) * fx
+    c10 = v100 + (v101 - v100) * fx
+    c11 = v110 + (v111 - v110) * fx
+    c0 = c00 + (c01 - c00) * fy
+    c1 = c10 + (c11 - c10) * fy
+    val = c0 + (c1 - c0) * fz
+    return jnp.where(valid, val, 0.0)
+
+
+def affine_transform_3d_streamed(src_host, tmx, out_shape, budget_bytes=None,
+                                 n_blocks=None):
+    """Beyond-HBM affine transform: the source stays in host memory; each
+    output z-block uploads only the bounded source z-window its rows can
+    sample (computed on the host from the affine corners). One compiled
+    program serves all blocks (fixed window width, traced offsets)."""
+    import numpy as np
+
+    src_host = np.asarray(src_host, np.float32)
+    sz, sy, sx = src_host.shape
+    oz, oy_n, ox_n = out_shape
+    if n_blocks is None:
+        if budget_bytes:
+            per = budget_bytes / 4
+            n_blocks = 1
+            while n_blocks < oz and (sz // n_blocks + oz // n_blocks) * sy * sx * 4 > per:
+                n_blocks *= 2
+        else:
+            n_blocks = 1
+    n_blocks = min(n_blocks, oz)
+    while oz % n_blocks:
+        n_blocks //= 2
+    bz = oz // n_blocks
+    m = np.asarray(tmx, np.float64).reshape(3, 4)
+    # fixed window width: max footprint over blocks (affine -> corners)
+    bounds = []
+    for i in range(n_blocks):
+        zlo, zhi = i * bz, (i + 1) * bz - 1
+        czs = [m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + m[2, 3]
+               for x in (0.0, ox_n - 1.0) for y in (0.0, oy_n - 1.0)
+               for z in (float(zlo), float(zhi))]
+        lo = int(np.clip(np.floor(min(czs)), 0, sz - 1))
+        hi = int(np.clip(np.floor(max(czs)) + 2, 1, sz))
+        bounds.append((lo, hi))
+    width = max(hi - lo for lo, hi in bounds)
+    width = min(-(-width // 16) * 16, sz)
+    out = np.empty(out_shape, np.float32)
+    for i, (lo, hi) in enumerate(bounds):
+        start = min(lo, sz - width)
+        win = jnp.asarray(src_host[start:start + width])
+        blk = affine_transform_3d_window(
+            win, jnp.asarray(tmx, jnp.float32), (bz, oy_n, ox_n),
+            jnp.int32(i * bz), jnp.int32(start), sz)
+        out[i * bz:(i + 1) * bz] = np.asarray(blk)
+    return out
+
+
 def zslab_footprint_hops(tmx, shape_zyx, n_shards):
     """Host-side bound for the sharded-registration halo: the number of
     neighbor z-shards each device must receive so its source window covers

@@ -148,3 +148,38 @@ def test_rot_to_matrix_axis1_center_maps():
     # output coord (x, sNew//2, sNew//2) -> source (x, 12//2, 14//2)
     v = m @ np.array([3, s_new // 2, s_new // 2, 1.0])
     np.testing.assert_allclose(v, [3, 6, 7], atol=1e-5)
+
+
+def test_affine_transform_streamed_matches_full():
+    from microimagelib_tpu.ops.affine import (
+        affine_transform_3d,
+        affine_transform_3d_streamed,
+    )
+    from microimagelib_tpu.ops.matrix import dof_to_matrix, identity_tmx
+    import numpy as np
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    src = rng.random((16, 24, 32)).astype(np.float32)
+    mats = [identity_tmx(),
+            dof_to_matrix([1.5, -2.0, 3.5, 4.0, -3.0, 2.0, 1.05, 0.95, 1.1], 9)]
+    for m in mats:
+        for out_shape in [(16, 24, 32), (24, 24, 32)]:
+            ref = np.asarray(affine_transform_3d(jnp.asarray(src), m, out_shape))
+            # tiny budget forces multiple blocks + narrow windows
+            got = affine_transform_3d_streamed(src, m, out_shape,
+                                               budget_bytes=64 * 1024)
+            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_atrans3dgpu_mem_mode2_matches():
+    from microimagelib_tpu.models.registration import atrans3dgpu
+    from microimagelib_tpu.ops.matrix import identity_tmx
+    import numpy as np
+
+    rng = np.random.default_rng(10)
+    src = rng.random((12, 16, 16)).astype(np.float32)
+    m = identity_tmx(); m[3], m[11] = 1.5, -2.2
+    ref = atrans3dgpu(src, m, (12, 16, 16), mem_mode=1)
+    got = atrans3dgpu(src, m, (12, 16, 16), mem_mode=2)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

@@ -228,3 +228,16 @@ def test_reg3d_phasor_mem_mode2(monkeypatch):
     ref_reg, ref_tmx, _ = reg3d(vol, moved, reg_choice=1, mem_mode=1)
     reg, tmx, rec = reg3d(vol, moved, reg_choice=1, mem_mode=2)
     np.testing.assert_array_equal(tmx, ref_tmx)
+
+
+def test_reg3d_affine_mem_mode2_matches():
+    vol = smooth_blobs((24, 24, 24), n=10, seed=14)
+    true_m = identity_tmx()
+    true_m[3], true_m[7] = 1.5, -1.0
+    moved = np.asarray(affine_transform_3d(jnp.asarray(vol), true_m, vol.shape))
+    reg1, tmx1, _ = reg3d(vol, moved, reg_choice=2, aff_method=1, mem_mode=1,
+                          it_limit=2000)
+    reg2, tmx2, _ = reg3d(vol, moved, reg_choice=2, aff_method=1, mem_mode=2,
+                          it_limit=2000)
+    np.testing.assert_allclose(tmx2, tmx1, atol=1e-6)
+    np.testing.assert_allclose(reg2, reg1, rtol=1e-4, atol=1e-4)
