@@ -127,11 +127,13 @@ def atrans3dgpu_16bit(img2_u16, tmx, out_shape_zyx, device=None):
 
 @jax.jit
 def _zncc_dev(a, b):
+    from microimagelib_tpu.ops.affine import sum_blocked
+
     am = a - jnp.mean(a)
     bm = b - jnp.mean(b)
-    st = jnp.sum(am * bm)
-    tt = jnp.sum(am * am)
-    ss = jnp.sum(bm * bm)
+    st = sum_blocked(am * bm)
+    tt = sum_blocked(am * am)
+    ss = sum_blocked(bm * bm)
     return st, tt, ss
 
 
@@ -238,15 +240,17 @@ def _masked_zncc_boxes(a, b, offs_xyz, cs_xyz, valid):
     b = b - jnp.mean(b)
 
     def one(off, cs, ok):
+        from microimagelib_tpu.ops.affine import sum_blocked
+
         w = ((xi >= off[0]) & (xi < off[0] + cs[0])
              & (yi >= off[1]) & (yi < off[1] + cs[1])
              & (zi >= off[2]) & (zi < off[2] + cs[2])).astype(a.dtype)
         n = jnp.sum(w)
-        sa = jnp.sum(w * a)
-        sb = jnp.sum(w * b)
-        saa = jnp.sum(w * a * a)
-        sbb = jnp.sum(w * b * b)
-        sab = jnp.sum(w * a * b)
+        sa = sum_blocked(w * a)
+        sb = sum_blocked(w * b)
+        saa = sum_blocked(w * a * a)
+        sbb = sum_blocked(w * b * b)
+        sab = sum_blocked(w * a * b)
         nz = jnp.maximum(n, 1.0)
         va = saa - sa * sa / nz
         vb = sbb - sb * sb / nz

@@ -133,7 +133,9 @@ def corr3d_partials_mxu(src, tgt, tmx, box_k=DEFAULT_K):
     s, all_fit = _corr_rows_mxu(src, tgt, m, box_k)
 
     def fast(_):
-        return jnp.sum(s * s), jnp.sum(s * tgt)
+        from microimagelib_tpu.ops.affine import sum_blocked
+
+        return sum_blocked(s * s), sum_blocked(s * tgt)
 
     def slow(_):
         return _corr_gather(src, tgt, tmx)

@@ -288,13 +288,23 @@ def corr3d_partials_pallas(src, tgt, tmx, interpret=False, k_mode=None,
         return _corr_gather(src_u, tgt_u, tmx)
 
     if k_mode == "cascade":
+        # K tiers 8 -> 16 -> 32 before the exact-gather fallback: line
+        # searches probe far-out matrices whose footprints blow past the
+        # small boxes, and each gather hit costs ~170 ms at 128^3 —
+        # measured ladders with fewer tiers spent most of their time
+        # there (69 s with K=16-only vs ~10 s cascaded)
         ss8, st8, fit8 = run(8)
 
-        def escalate(_):
+        def escalate16(_):
             ss16, st16, fit16 = run(16)
-            return lax.cond(fit16, lambda _: (ss16, st16), gather, None)
 
-        return lax.cond(fit8, lambda _: (ss8, st8), escalate, None)
+            def escalate32(_):
+                ss32, st32, fit32 = run(32)
+                return lax.cond(fit32, lambda _: (ss32, st32), gather, None)
+
+            return lax.cond(fit16, lambda _: (ss16, st16), escalate32, None)
+
+        return lax.cond(fit8, lambda _: (ss8, st8), escalate16, None)
 
     ss, st, all_fit = run(int(k_mode))
     return lax.cond(all_fit, lambda _: (ss, st), gather, None)

@@ -183,3 +183,47 @@ def test_atrans3dgpu_mem_mode2_matches():
     ref = atrans3dgpu(src, m, (12, 16, 16), mem_mode=1)
     got = atrans3dgpu(src, m, (12, 16, 16), mem_mode=2)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sum_blocked_accuracy_at_scale():
+    # VERDICT weak #8: f32 reductions at NCC scale. XLA fuses a flat sum
+    # into sequential f32 accumulation (error ~ n*eps); the blocked
+    # reduction must stay within ~1e-5 of the f64 oracle at 2M elements.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from microimagelib_tpu.ops.affine import sum_blocked
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random(2 ** 21).astype(np.float32))
+    ref = float(np.sum(np.asarray(x, np.float64)))
+    got = float(jax.jit(sum_blocked)(x))
+    assert abs(got - ref) / ref < 1e-5
+
+
+def test_corr3d_partials_accuracy_128():
+    # the jitted NCC partials must match an f64 oracle to <1e-4 at 128^3
+    # (2M samples) — the scale where sequential f32 accumulation lost
+    # ~1e-3 before the blocked reduction
+    import jax.numpy as jnp
+    import numpy as np
+    from microimagelib_tpu.ops.affine import (
+        _out_coords,
+        _trilerp_flat,
+        corr3d_partials,
+    )
+    from microimagelib_tpu.ops.matrix import identity_tmx
+
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.random((128, 128, 128)).astype(np.float32))
+    tgt = jnp.asarray(rng.random((128, 128, 128)).astype(np.float32))
+    m = identity_tmx()
+    m[3], m[7], m[11] = 1.3, -0.7, 0.4
+    cx, cy, cz = _out_coords(tgt.shape, jnp.asarray(m))
+    s = np.asarray(_trilerp_flat(src, cx, cy, cz, strict_lo=True),
+                   np.float64)
+    ss_ref = float((s * s).sum())
+    st_ref = float((s * np.asarray(tgt, np.float64)).sum())
+    ss, st = corr3d_partials(src, tgt, m)
+    np.testing.assert_allclose(float(ss), ss_ref, rtol=1e-4)
+    np.testing.assert_allclose(float(st), st_ref, rtol=1e-4)
