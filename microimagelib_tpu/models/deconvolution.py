@@ -46,6 +46,7 @@ from microimagelib_tpu.ops.basics import (
     pad_stack_edge,
     snap_fft_size,
 )
+from microimagelib_tpu.ops.fft_matmul import conv3_mm, mm_precision
 
 SMALLVALUE = 0.01
 
@@ -78,11 +79,25 @@ def _conv_spec(x, otf, shape):
     return jnp.fft.irfftn(jnp.fft.rfftn(x) * otf, s=shape)
 
 
-@partial(jax.jit, static_argnames=("n_iters", "const_initial"))
-def rl_decon_single(img, otf, otf_bp, n_iters, const_initial=False):
-    """Single-view RL on a pre-padded FFT-grid image. Returns the estimate
-    on the same grid. (``decon_singleview_OTF1`` loop,
-    reference:src/api_subfunc.cu:3404-3416.)"""
+def _fft_impl(shape):
+    """Resolve the FFT backend for the RL loops: ``MIL_FFT_IMPL`` =
+    xla | matmul | auto. Auto picks the MXU matmul-form DFT
+    (ops/fft_matmul.py) on TPU for volumes where it was measured faster
+    than XLA's FFT (BASELINE.md round-2 measurement); smaller volumes and
+    other backends keep ``jnp.fft``."""
+    impl = os.environ.get("MIL_FFT_IMPL", "auto")
+    if impl in ("xla", "matmul"):
+        return impl
+    if jax.default_backend() != "tpu":
+        return "xla"
+    vox = shape[0] * shape[1] * shape[2]
+    min_vox = int(os.environ.get("MIL_FFT_MM_MIN_VOXELS", str(2 ** 24)))
+    return "matmul" if vox >= min_vox else "xla"
+
+
+@partial(jax.jit,
+         static_argnames=("n_iters", "const_initial", "fft_impl", "prec"))
+def _rl_single(img, otf, otf_bp, n_iters, const_initial, fft_impl, prec):
     shape = img.shape
     img = jnp.maximum(img, SMALLVALUE)
     if const_initial:
@@ -90,19 +105,41 @@ def rl_decon_single(img, otf, otf_bp, n_iters, const_initial=False):
     else:
         est0 = img
 
+    if fft_impl == "matmul":
+        planes = [(jnp.real(h).astype(jnp.float32),
+                   jnp.imag(h).astype(jnp.float32)) for h in (otf, otf_bp)]
+
+        def conv(x, which):
+            hr, hi = planes[which]
+            return conv3_mm(x, hr, hi, prec)
+    else:
+        otfs = (otf, otf_bp)
+
+        def conv(x, which):
+            return _conv_spec(x, otfs[which], shape)
+
     def body(_, est):
-        fwd = _conv_spec(est, otf, shape)
+        fwd = conv(est, 0)
         ratio = img / fwd
-        upd = _conv_spec(ratio, otf_bp, shape)
+        upd = conv(ratio, 1)
         return jnp.maximum(est * upd, SMALLVALUE)
 
     return jax.lax.fori_loop(0, n_iters, body, est0)
 
 
-@partial(jax.jit, static_argnames=("n_iters", "const_initial"))
-def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters, const_initial=False):
-    """Joint dual-view RL: view A then view B per iteration
-    (``decon_dualview_OTF1``, reference:src/api_subfunc.cu:3634-3660)."""
+def rl_decon_single(img, otf, otf_bp, n_iters, const_initial=False):
+    """Single-view RL on a pre-padded FFT-grid image. Returns the estimate
+    on the same grid. (``decon_singleview_OTF1`` loop,
+    reference:src/api_subfunc.cu:3404-3416.) The FFT backend is resolved
+    per call by :func:`_fft_impl`."""
+    return _rl_single(img, otf, otf_bp, n_iters, const_initial,
+                      _fft_impl(img.shape), mm_precision())
+
+
+@partial(jax.jit,
+         static_argnames=("n_iters", "const_initial", "fft_impl", "prec"))
+def _rl_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
+             const_initial, fft_impl, prec):
     shape = img_a.shape
     img_a = jnp.maximum(img_a, SMALLVALUE)
     img_b = jnp.maximum(img_b, SMALLVALUE)
@@ -111,18 +148,40 @@ def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters, const
     else:
         est0 = (img_a + img_b) * 0.5
 
-    def half(est, img, otf, otf_bp):
-        fwd = _conv_spec(est, otf, shape)
+    if fft_impl == "matmul":
+        planes = [(jnp.real(h).astype(jnp.float32),
+                   jnp.imag(h).astype(jnp.float32))
+                  for h in (otf_a, otf_bp_a, otf_b, otf_bp_b)]
+
+        def conv(x, which):
+            hr, hi = planes[which]
+            return conv3_mm(x, hr, hi, prec)
+    else:
+        otfs = (otf_a, otf_bp_a, otf_b, otf_bp_b)
+
+        def conv(x, which):
+            return _conv_spec(x, otfs[which], shape)
+
+    def half(est, img, base):
+        fwd = conv(est, base)
         ratio = img / fwd
-        upd = _conv_spec(ratio, otf_bp, shape)
+        upd = conv(ratio, base + 1)
         return jnp.maximum(est * upd, SMALLVALUE)
 
     def body(_, est):
-        est = half(est, img_a, otf_a, otf_bp_a)
-        est = half(est, img_b, otf_b, otf_bp_b)
+        est = half(est, img_a, 0)
+        est = half(est, img_b, 2)
         return est
 
     return jax.lax.fori_loop(0, n_iters, body, est0)
+
+
+def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters, const_initial=False):
+    """Joint dual-view RL: view A then view B per iteration
+    (``decon_dualview_OTF1``, reference:src/api_subfunc.cu:3634-3660).
+    The FFT backend is resolved per call by :func:`_fft_impl`."""
+    return _rl_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
+                    const_initial, _fft_impl(img_a.shape), mm_precision())
 
 
 # --------------------------------------------------------------------------
