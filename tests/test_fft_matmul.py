@@ -89,3 +89,18 @@ def test_rl_decon_mm_matches_xla_path(monkeypatch):
     out_d = np.asarray(dc.rl_decon_dual(img, img * 1.1, otf, otf, otf_bp,
                                         otf_bp, 4))
     np.testing.assert_allclose(out_d, ref_d, rtol=2e-3, atol=2e-3)
+
+
+def test_phasor_surface_mm_matches_xla():
+    from microimagelib_tpu.models.registration import (
+        _phasor_surface3,
+        _phasor_surface3_mm,
+    )
+
+    shape = (16, 24, 20)
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.random(shape).astype(np.float32))
+    b = jnp.asarray(np.roll(np.asarray(a), (2, -3, 4), (0, 1, 2)))
+    ref = np.asarray(_phasor_surface3(a, b))
+    out = np.asarray(_phasor_surface3_mm(a, b))
+    np.testing.assert_allclose(out, ref, atol=2e-4 * np.abs(ref).max())
