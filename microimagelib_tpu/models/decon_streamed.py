@@ -90,35 +90,55 @@ def np_gen_otf(psf, fft_shape, normalize=True):
     return np.fft.rfftn(tmp).astype(np.complex64)
 
 
+def _split_planes(spec):
+    """Host complex64 -> contiguous f32 (re, im) planes (c64 never
+    crosses the host/device boundary on the axon TPU)."""
+    spec = np.asarray(spec)
+    return (np.ascontiguousarray(spec.real, np.float32),
+            np.ascontiguousarray(spec.imag, np.float32))
+
+
 # --------------------------------------------------------------------------
 # jitted per-chunk device programs (static chunk shapes -> reused programs)
+#
+# All host<->device traffic is float32 real/imag PLANE PAIRS, never
+# complex64: the axon TPU backend raises UNIMPLEMENTED on any c64
+# transfer in either direction (measured; see BASELINE.md round-2
+# notes). Complex values exist only inside the compiled programs.
 # --------------------------------------------------------------------------
 
 @jax.jit
 def _fft2_slab(slab):
-    """(cz, Y, X) f32 -> (cz, Y, X//2+1) c64: 2D rFFT over (y, x)."""
-    return jnp.fft.rfft2(slab).astype(jnp.complex64)
+    """(cz, Y, X) f32 -> ((cz, Y, X//2+1) f32 re, ... im): rFFT2 over (y, x)."""
+    s = jnp.fft.rfft2(slab)
+    return (jnp.real(s).astype(jnp.float32),
+            jnp.imag(s).astype(jnp.float32))
 
 
 @jax.jit
-def _fftz_mul_ifftz(spec_chunk, otf_chunk):
-    """(Z, cy, Xh) c64: FFT along z, multiply OTF, inverse FFT along z."""
-    s = jnp.fft.fft(spec_chunk, axis=0)
-    s = s * otf_chunk
-    return jnp.fft.ifft(s, axis=0).astype(jnp.complex64)
+def _fftz_mul_ifftz(sr, si, otf_r, otf_i):
+    """(Z, cy, Xh) re/im planes: FFT along z, multiply OTF, inverse FFT
+    along z. Returns re/im planes."""
+    s = jnp.fft.fft(jax.lax.complex(sr, si), axis=0)
+    s = s * jax.lax.complex(otf_r, otf_i)
+    s = jnp.fft.ifft(s, axis=0)
+    return (jnp.real(s).astype(jnp.float32),
+            jnp.imag(s).astype(jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("x_out",))
-def _irfft2_ratio_slab(spec_slab, img_slab, x_out):
+def _irfft2_ratio_slab(sr, si, img_slab, x_out):
     """irFFT2 fused with the RL ratio: img / fwd."""
-    fwd = jnp.fft.irfft2(spec_slab, s=(img_slab.shape[1], x_out))
+    fwd = jnp.fft.irfft2(jax.lax.complex(sr, si),
+                         s=(img_slab.shape[1], x_out))
     return (img_slab / fwd).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("x_out",))
-def _irfft2_update_slab(spec_slab, est_slab, x_out):
+def _irfft2_update_slab(sr, si, est_slab, x_out):
     """irFFT2 fused with the RL estimate update + SMALLVALUE clamp."""
-    upd = jnp.fft.irfft2(spec_slab, s=(est_slab.shape[1], x_out))
+    upd = jnp.fft.irfft2(jax.lax.complex(sr, si),
+                         s=(est_slab.shape[1], x_out))
     return jnp.maximum(est_slab * upd, SMALLVALUE).astype(jnp.float32)
 
 
@@ -145,26 +165,33 @@ def _chunk_counts(fft_shape, budget_bytes):
     return pick(fz, z_bytes), pick(fy, y_bytes)
 
 
-def _conv_streamed(vol, spec, otf, out, elementwise, other, nz, ny, x_out):
+def _conv_streamed(vol, spec_r, spec_i, otf_r, otf_i, out, elementwise,
+                   other, nz, ny, x_out):
     """One streamed FFT convolution: out = elementwise(irfftn(rfftn(vol)*otf), other).
 
-    vol, other, out: host f32 (Z, Y, X); spec: host c64 (Z, Y, Xh) scratch;
-    otf: host c64. ``elementwise`` is 'ratio' (other=img) or 'update'
-    (other=est, in which case out may alias other)."""
+    vol, other, out: host f32 (Z, Y, X); spec_r/spec_i: host f32 (Z, Y, Xh)
+    scratch planes; otf_r/otf_i: host f32 OTF planes. ``elementwise`` is
+    'ratio' (other=img) or 'update' (other=est, in which case out may
+    alias other)."""
     fz = vol.shape[0]
     fy = vol.shape[1]
     cz = fz // nz
     cy = fy // ny
     for i in range(nz):
         sl = slice(i * cz, (i + 1) * cz)
-        spec[sl] = np.asarray(_fft2_slab(vol[sl]))
+        r, m = _fft2_slab(vol[sl])
+        spec_r[sl] = np.asarray(r)
+        spec_i[sl] = np.asarray(m)
     for j in range(ny):
         sl = slice(j * cy, (j + 1) * cy)
-        spec[:, sl] = np.asarray(_fftz_mul_ifftz(spec[:, sl], otf[:, sl]))
+        r, m = _fftz_mul_ifftz(spec_r[:, sl], spec_i[:, sl],
+                               otf_r[:, sl], otf_i[:, sl])
+        spec_r[:, sl] = np.asarray(r)
+        spec_i[:, sl] = np.asarray(m)
     fn = _irfft2_ratio_slab if elementwise == "ratio" else _irfft2_update_slab
     for i in range(nz):
         sl = slice(i * cz, (i + 1) * cz)
-        out[sl] = np.asarray(fn(spec[sl], other[sl], x_out))
+        out[sl] = np.asarray(fn(spec_r[sl], spec_i[sl], other[sl], x_out))
 
 
 def rl_decon_single_streamed(img, otf, otf_bp, n_iters, const_initial=False,
@@ -180,12 +207,15 @@ def rl_decon_single_streamed(img, otf, otf_bp, n_iters, const_initial=False,
     est = (np.full(fft_shape, img.sum(dtype=np.float64), np.float32)
            if const_initial else img.copy())
     ratio = np.empty(fft_shape, np.float32)
-    spec = np.empty((fft_shape[0], fft_shape[1], xh), np.complex64)
+    spec_r = np.empty((fft_shape[0], fft_shape[1], xh), np.float32)
+    spec_i = np.empty((fft_shape[0], fft_shape[1], xh), np.float32)
+    otf_r, otf_i = _split_planes(otf)
+    bp_r, bp_i = _split_planes(otf_bp)
     for _ in range(n_iters):
-        _conv_streamed(est, spec, otf, ratio, "ratio", img,
-                       nz, ny, fft_shape[2])
-        _conv_streamed(ratio, spec, otf_bp, est, "update", est,
-                       nz, ny, fft_shape[2])
+        _conv_streamed(est, spec_r, spec_i, otf_r, otf_i, ratio, "ratio",
+                       img, nz, ny, fft_shape[2])
+        _conv_streamed(ratio, spec_r, spec_i, bp_r, bp_i, est, "update",
+                       est, nz, ny, fft_shape[2])
     return est
 
 
@@ -206,12 +236,15 @@ def rl_decon_dual_streamed(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b,
     else:
         est = ((img_a + img_b) * 0.5).astype(np.float32)
     ratio = np.empty(fft_shape, np.float32)
-    spec = np.empty((fft_shape[0], fft_shape[1], xh), np.complex64)
+    spec_r = np.empty((fft_shape[0], fft_shape[1], xh), np.float32)
+    spec_i = np.empty((fft_shape[0], fft_shape[1], xh), np.float32)
+    planes = [(_split_planes(o), _split_planes(obp))
+              for o, obp in ((otf_a, otf_bp_a), (otf_b, otf_bp_b))]
     for _ in range(n_iters):
-        for img, otf, otf_bp in ((img_a, otf_a, otf_bp_a),
-                                 (img_b, otf_b, otf_bp_b)):
-            _conv_streamed(est, spec, otf, ratio, "ratio", img,
-                           nz, ny, fft_shape[2])
-            _conv_streamed(ratio, spec, otf_bp, est, "update", est,
-                           nz, ny, fft_shape[2])
+        for img, ((o_r, o_i), (bp_r, bp_i)) in ((img_a, planes[0]),
+                                                (img_b, planes[1])):
+            _conv_streamed(est, spec_r, spec_i, o_r, o_i, ratio, "ratio",
+                           img, nz, ny, fft_shape[2])
+            _conv_streamed(ratio, spec_r, spec_i, bp_r, bp_i, est,
+                           "update", est, nz, ny, fft_shape[2])
     return est

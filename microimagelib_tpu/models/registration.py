@@ -354,20 +354,24 @@ def reg2d_phasor(img1, img2):
 # --------------------------------------------------------------------------
 
 @jax.jit
-def _crosspow_chunk(s1, s2):
+def _crosspow_chunk(s1r, s1i, s2r, s2i):
     """FFT both spectra chunks along z, normalized cross-power, inverse z
-    FFT (the streamed middle pass of the phasor)."""
-    f1 = jnp.fft.fft(s1, axis=0)
-    f2 = jnp.fft.fft(s2, axis=0)
+    FFT (the streamed middle pass of the phasor). All host<->device
+    traffic is f32 re/im planes — the axon TPU raises UNIMPLEMENTED on
+    complex64 transfers (BASELINE.md round-2 notes)."""
+    f1 = jnp.fft.fft(jax.lax.complex(s1r, s1i), axis=0)
+    f2 = jnp.fft.fft(jax.lax.complex(s2r, s2i), axis=0)
     prod = jnp.conj(f1) * f2
     mag = jnp.abs(prod)
     norm = jnp.where(mag != 0, prod / mag, 0.0)
-    return jnp.fft.ifft(norm, axis=0).astype(jnp.complex64)
+    out = jnp.fft.ifft(norm, axis=0)
+    return (jnp.real(out).astype(jnp.float32),
+            jnp.imag(out).astype(jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("x_out",))
-def _irfft2_argmax_slab(spec_slab, x_out):
-    s = jnp.fft.irfft2(spec_slab, s=(spec_slab.shape[1], x_out))
+def _irfft2_argmax_slab(sr, si, x_out):
+    s = jnp.fft.irfft2(jax.lax.complex(sr, si), s=(sr.shape[1], x_out))
     idx = jnp.argmax(s)
     return s.reshape(-1)[idx], idx
 
@@ -410,19 +414,25 @@ def reg3d_phasor_lowmem(img1, img2, budget_bytes=None):
     cz, cy = sz // nz, sy // ny
     from microimagelib_tpu.models.decon_streamed import _fft2_slab
 
-    spec1 = np.empty((sz, sy, xh), np.complex64)
-    spec2 = np.empty((sz, sy, xh), np.complex64)
+    spec1r = np.empty((sz, sy, xh), np.float32)
+    spec1i = np.empty((sz, sy, xh), np.float32)
+    spec2r = np.empty((sz, sy, xh), np.float32)
+    spec2i = np.empty((sz, sy, xh), np.float32)
     for i in range(nz):
         sl = slice(i * cz, (i + 1) * cz)
-        spec1[sl] = np.asarray(_fft2_slab(a[sl]))
-        spec2[sl] = np.asarray(_fft2_slab(b[sl]))
+        r, m = _fft2_slab(a[sl])
+        spec1r[sl], spec1i[sl] = np.asarray(r), np.asarray(m)
+        r, m = _fft2_slab(b[sl])
+        spec2r[sl], spec2i[sl] = np.asarray(r), np.asarray(m)
     for j in range(ny):
         sl = slice(j * cy, (j + 1) * cy)
-        spec1[:, sl] = np.asarray(_crosspow_chunk(spec1[:, sl], spec2[:, sl]))
+        r, m = _crosspow_chunk(spec1r[:, sl], spec1i[:, sl],
+                               spec2r[:, sl], spec2i[:, sl])
+        spec1r[:, sl], spec1i[:, sl] = np.asarray(r), np.asarray(m)
     best_val, best_idx = -np.inf, 0
     for i in range(nz):
         sl = slice(i * cz, (i + 1) * cz)
-        v, idx = _irfft2_argmax_slab(spec1[sl], sx)
+        v, idx = _irfft2_argmax_slab(spec1r[sl], spec1i[sl], sx)
         v = float(v)
         if v > best_val:
             best_val, best_idx = v, int(idx) + i * cz * sy * sx

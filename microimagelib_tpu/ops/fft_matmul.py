@@ -126,11 +126,21 @@ def mm_algo():
 
 
 def _cpass_full(re, im, fr, fi, spec, prec):
-    """One complex-to-complex axis DFT as four real contractions.
-    ``spec`` is the einsum spec, e.g. 'zyk,yj->zjk' for the y axis."""
+    """One complex-to-complex axis DFT on explicit real/imag planes.
+    ``spec`` is the einsum spec, e.g. 'zyk,yj->zjk' for the y axis.
+
+    Uses the 3-multiplication (Karatsuba) form by default — the volume
+    operand appears in 3 contractions instead of 4 (m1 = re@fr,
+    m2 = im@fi, m3 = (re+im)@(fr+fi)) for a 25% FLOP cut on the complex
+    passes; ``MIL_FFT_MM_COMPLEX=naive`` restores the 4-matmul form."""
     ein = partial(jnp.einsum, spec, precision=prec)
-    return (ein(re, fr) - ein(im, fi),
-            ein(re, fi) + ein(im, fr))
+    if os.environ.get("MIL_FFT_MM_COMPLEX", "karatsuba") == "naive":
+        return (ein(re, fr) - ein(im, fi),
+                ein(re, fi) + ein(im, fr))
+    m1 = ein(re, fr)
+    m2 = ein(im, fi)
+    m3 = ein(re + im, fr + fi)
+    return m1 - m2, m3 - m1 - m2
 
 
 # Per-axis einsum specs for the split algorithm: (inner, outer) with the
