@@ -338,6 +338,72 @@ def affine_transform_3d_streamed(src_host, tmx, out_shape, budget_bytes=None,
     return out
 
 
+_corr3d_window_jit = None
+
+
+def corr3d_partials_streamed(src_host, tgt_host, tmx, budget_bytes=None,
+                             n_blocks=None):
+    """NCC partials (sum(s^2), sum(s*t)) with BOTH volumes host-resident:
+    each target z-block visits the device together with only the bounded
+    source z-window its rows can sample (corners of the affine map give
+    the bound), and the per-block partials accumulate on the host in
+    float64. This is the beyond-HBM registration cost — the reference's
+    memory-saving ``reg3d_affine2`` still required the full volume on the
+    GPU (reference:src/api_subfunc.cu:2995-3266); here the device working
+    set is one window + one block.
+
+    src_host/tgt_host: (z, y, x) float32 numpy, already mean-subtracted
+    like ``corr3d_partials`` inputs. One compiled program (fixed window
+    and block extents, traced offsets) serves every block."""
+    import numpy as np
+
+    global _corr3d_window_jit
+    if _corr3d_window_jit is None:
+        _corr3d_window_jit = jax.jit(corr3d_partials_window,
+                                     static_argnames=("sz_global",))
+
+    src_host = np.asarray(src_host, np.float32)
+    tgt_host = np.asarray(tgt_host, np.float32)
+    sz, sy, sx = src_host.shape
+    oz = tgt_host.shape[0]
+    if n_blocks is None:
+        if budget_bytes:
+            per = budget_bytes / 4
+            n_blocks = 1
+            while n_blocks < oz and (sz / n_blocks + oz / n_blocks) * sy * sx * 4 > per:
+                n_blocks *= 2
+        else:
+            n_blocks = 1
+    n_blocks = min(n_blocks, oz)
+    while oz % n_blocks:
+        n_blocks //= 2
+    bz = oz // n_blocks
+    m = np.asarray(tmx, np.float64).reshape(3, 4)
+    bounds = []
+    for i in range(n_blocks):
+        zlo, zhi = i * bz, (i + 1) * bz - 1
+        czs = [m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + m[2, 3]
+               for x in (0.0, sx - 1.0) for y in (0.0, sy - 1.0)
+               for z in (float(zlo), float(zhi))]
+        lo = int(np.clip(np.floor(min(czs)), 0, sz - 1))
+        hi = int(np.clip(np.floor(max(czs)) + 2, 1, sz))
+        bounds.append((lo, hi))
+    width = max(hi - lo for lo, hi in bounds)
+    width = min(-(-width // 16) * 16, sz)
+    tmx32 = np.asarray(tmx, np.float32)
+    ss = st = 0.0
+    for i, (lo, hi) in enumerate(bounds):
+        start = min(lo, sz - width)
+        win = jnp.asarray(src_host[start:start + width])
+        blk = jnp.asarray(tgt_host[i * bz:(i + 1) * bz])
+        ss_b, st_b = _corr3d_window_jit(win, blk, tmx32,
+                                        jnp.int32(i * bz), jnp.int32(start),
+                                        sz_global=sz)
+        ss += float(ss_b)
+        st += float(st_b)
+    return ss, st
+
+
 def zslab_footprint_hops(tmx, shape_zyx, n_shards):
     """Host-side bound for the sharded-registration halo: the number of
     neighbor z-shards each device must receive so its source window covers

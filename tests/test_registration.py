@@ -241,3 +241,60 @@ def test_reg3d_affine_mem_mode2_matches():
                           it_limit=2000)
     np.testing.assert_allclose(tmx2, tmx1, atol=1e-6)
     np.testing.assert_allclose(reg2, reg1, rtol=1e-4, atol=1e-4)
+
+
+def test_corr3d_partials_streamed_matches():
+    from microimagelib_tpu.ops.affine import (
+        corr3d_partials,
+        corr3d_partials_streamed,
+    )
+
+    vol = smooth_blobs((24, 20, 16), n=12, seed=21)
+    tgt = smooth_blobs((24, 20, 16), n=12, seed=22)
+    m = identity_tmx()
+    m[3], m[7], m[11] = 1.5, -2.0, 0.8
+    m[1] = 0.05  # small shear so windows genuinely vary per block
+    ss0, st0 = corr3d_partials(jnp.asarray(vol), jnp.asarray(tgt), m)
+    # tiny budget forces multiple blocks + bounded windows
+    ss, st = corr3d_partials_streamed(vol, tgt, m, budget_bytes=24 * 20 * 16 * 4)
+    np.testing.assert_allclose(ss, float(ss0), rtol=1e-5)
+    np.testing.assert_allclose(st, float(st0), rtol=1e-5)
+
+
+def test_reg3d_affine_beyond_hbm(monkeypatch):
+    """When the mode-1 working set exceeds the budget, registration runs
+    the host-pooled coarse ladder + streamed full-res cost and still
+    recovers the transform; the device never holds a full volume."""
+    vol = smooth_blobs((32, 32, 32), n=14, seed=23)
+    true_m = identity_tmx()
+    true_m[3], true_m[7], true_m[11] = 2.0, -1.0, 1.0
+    moved = np.asarray(affine_transform_3d(jnp.asarray(vol), true_m, vol.shape))
+    # 32^3 * 5 vols * 4 B = 0.63 MB; set the budget well below that
+    monkeypatch.setenv("MIL_HBM_BUDGET_MB", "0.3")
+    reg, tmx, rec = reg3d(vol, moved, reg_choice=2, aff_method=1,
+                          it_limit=2000)
+    # translation-only model preserved through the beyond-HBM tier
+    expect_affine = np.asarray(identity_tmx()).reshape(3, 4)[:, :3]
+    np.testing.assert_allclose(np.asarray(tmx).reshape(3, 4)[:, :3],
+                               expect_affine, atol=1e-6)
+    # registration recovers the INVERSE map (matrix takes output coords
+    # to source coords), hence -true translations
+    np.testing.assert_allclose(np.asarray(tmx)[[3, 7, 11]],
+                               -np.asarray(true_m)[[3, 7, 11]], atol=0.35)
+    assert rec[3] > 0.9  # streamed full-res NCC of the found matrix
+
+
+def test_reg3d_affine_beyond_hbm_stream_polish(monkeypatch):
+    vol = smooth_blobs((32, 32, 32), n=14, seed=24)
+    true_m = identity_tmx()
+    true_m[3], true_m[7] = 1.5, -0.8
+    moved = np.asarray(affine_transform_3d(jnp.asarray(vol), true_m, vol.shape))
+    monkeypatch.setenv("MIL_HBM_BUDGET_MB", "0.3")
+    monkeypatch.setenv("MIL_REG_STREAM_POLISH", "1")
+    reg, tmx, rec = reg3d(vol, moved, reg_choice=2, aff_method=1,
+                          it_limit=2000)
+    np.testing.assert_allclose(np.asarray(tmx).reshape(3, 4)[:, :3],
+                               np.asarray(identity_tmx()).reshape(3, 4)[:, :3],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tmx)[[3, 7, 11]],
+                               -np.asarray(true_m)[[3, 7, 11]], atol=0.1)
