@@ -174,20 +174,27 @@ def bench_batch20tp():
                           np.roll(base, 1, axis=2) * (1 + 0.01 * t), 32)
         psf = _gauss_psf(r=3, sigma=1.2)
         writetifstack(os.path.join(root, "psf.tif"), psf, 32)
-        cfg = BatchConfig(
-            out_dir=os.path.join(root, "out"), in_dir1=in1, in_dir2=in2,
-            name1="SPIMA_", name2="SPIMB_",
-            img_start=0, img_end=n_t - 1, img_interval=1, img_test=0,
-            pixel1=(1.0, 1.0, 1.0), pixel2=(1.0, 1.0, 1.0),
-            reg_mode=1, im_rotation=0, flag_initial_tmx=0, tmx_file="",
-            ftol=1e-4, it_limit=3000, save_reg_a=False, save_reg_b=False,
-            psf1_file=os.path.join(root, "psf.tif"),
-            psf2_file=os.path.join(root, "psf.tif"),
-            it_num_decon=10, save_mp_z=True, save_mp_y=False, save_mp_x=False,
-            save_3d_x=False, save_3d_y=True, bit_per_sample=32,
-            query_device=False, device_num=0, verbose=False)
+        def mk_cfg(out_name, start, end):
+            return BatchConfig(
+                out_dir=os.path.join(root, out_name), in_dir1=in1, in_dir2=in2,
+                name1="SPIMA_", name2="SPIMB_",
+                img_start=start, img_end=end, img_interval=1, img_test=0,
+                pixel1=(1.0, 1.0, 1.0), pixel2=(1.0, 1.0, 1.0),
+                reg_mode=1, im_rotation=0, flag_initial_tmx=0, tmx_file="",
+                ftol=1e-4, it_limit=3000, save_reg_a=False, save_reg_b=False,
+                psf1_file=os.path.join(root, "psf.tif"),
+                psf2_file=os.path.join(root, "psf.tif"),
+                it_num_decon=10, save_mp_z=True, save_mp_y=False,
+                save_mp_x=False, save_3d_x=False, save_3d_y=True,
+                bit_per_sample=32, query_device=False, device_num=0,
+                verbose=False)
+
+        # warm the per-shape device programs (registration ladder, decon,
+        # MIPs) on one throwaway timepoint — the axon device program load
+        # is minutes-scale and would otherwise dominate the timed window
+        spim_fusion_batch(mk_cfg("warm", 0, 0))
         t0 = time.perf_counter()
-        processed = spim_fusion_batch(cfg)
+        processed = spim_fusion_batch(mk_cfg("out", 0, n_t - 1))
         dt = time.perf_counter() - t0
         assert len(processed) == n_t
         _emit("batch_timepoints_per_min", 60.0 * n_t / dt, "tp/min", None)

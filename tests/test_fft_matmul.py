@@ -91,6 +91,23 @@ def test_rl_decon_mm_matches_xla_path(monkeypatch):
     np.testing.assert_allclose(out_d, ref_d, rtol=2e-3, atol=2e-3)
 
 
+def test_fft_impl_policy(monkeypatch):
+    """auto: matmul on TPU >= 2^23 voxels, xla below and on other
+    backends; explicit env wins."""
+    from microimagelib_tpu.models import deconvolution as dc
+
+    monkeypatch.delenv("MIL_FFT_IMPL", raising=False)
+    assert dc._fft_impl((512, 512, 512)) == "xla"  # cpu backend here
+    monkeypatch.setattr(dc.jax, "default_backend", lambda: "tpu")
+    assert dc._fft_impl((512, 512, 512)) == "matmul"
+    assert dc._fft_impl((128, 256, 256)) == "matmul"  # exactly 2^23
+    assert dc._fft_impl((64, 64, 64)) == "xla"
+    monkeypatch.setenv("MIL_FFT_IMPL", "xla")
+    assert dc._fft_impl((512, 512, 512)) == "xla"
+    monkeypatch.setenv("MIL_FFT_IMPL", "matmul")
+    assert dc._fft_impl((8, 8, 8)) == "matmul"
+
+
 def test_phasor_surface_mm_matches_xla():
     from microimagelib_tpu.models.registration import (
         _phasor_surface3,
