@@ -172,25 +172,30 @@ def _conv_streamed(vol, spec_r, spec_i, otf_r, otf_i, out, elementwise,
     vol, other, out: host f32 (Z, Y, X); spec_r/spec_i: host f32 (Z, Y, Xh)
     scratch planes; otf_r/otf_i: host f32 OTF planes. ``elementwise`` is
     'ratio' (other=img) or 'update' (other=est, in which case out may
-    alias other)."""
+    alias other).
+
+    Chunks are ceil-sized with a possibly-smaller TAIL chunk, so every
+    row is covered for ANY axis extent (FFT grids are 64-multiples, not
+    necessarily powers of two; a floor-sized chunk loop would silently
+    skip the tail and stream uninitialized scratch into the z-FFT)."""
     fz = vol.shape[0]
     fy = vol.shape[1]
-    cz = fz // nz
-    cy = fy // ny
-    for i in range(nz):
-        sl = slice(i * cz, (i + 1) * cz)
+    cz = -(-fz // nz)
+    cy = -(-fy // ny)
+    for lo in range(0, fz, cz):
+        sl = slice(lo, min(lo + cz, fz))
         r, m = _fft2_slab(vol[sl])
         spec_r[sl] = np.asarray(r)
         spec_i[sl] = np.asarray(m)
-    for j in range(ny):
-        sl = slice(j * cy, (j + 1) * cy)
+    for lo in range(0, fy, cy):
+        sl = slice(lo, min(lo + cy, fy))
         r, m = _fftz_mul_ifftz(spec_r[:, sl], spec_i[:, sl],
                                otf_r[:, sl], otf_i[:, sl])
         spec_r[:, sl] = np.asarray(r)
         spec_i[:, sl] = np.asarray(m)
     fn = _irfft2_ratio_slab if elementwise == "ratio" else _irfft2_update_slab
-    for i in range(nz):
-        sl = slice(i * cz, (i + 1) * cz)
+    for lo in range(0, fz, cz):
+        sl = slice(lo, min(lo + cz, fz))
         out[sl] = np.asarray(fn(spec_r[sl], spec_i[sl], other[sl], x_out))
 
 

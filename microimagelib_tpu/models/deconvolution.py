@@ -61,13 +61,26 @@ def gen_otf(psf, fft_shape, normalize=True):
 
     Optional sum-normalization, centered re-size when the PSF exceeds the
     grid, circular split around the PSF center to the origin, forward
-    rFFT. (``genOTFgpu``, reference:src/api_subfunc.cu:3269-3307.)"""
+    rFFT. (``genOTFgpu``, reference:src/api_subfunc.cu:3269-3307.)
+
+    Grids that the RL loop routes through the matmul DFT build their OTF
+    the same way, keeping forward and inverse transforms consistent
+    (measurement showed XLA's TPU rfftn of the sparse PSF grid was still
+    accurate at 512^3 — the C2R side carries the >=2^24-voxel defect —
+    but one source of transform truth is cheaper to reason about). The
+    OTF stays device-resident as complex64; only host<->device c64
+    TRANSFERS are unsupported on axon."""
     psf = jnp.asarray(psf, dtype=jnp.float32)
     if normalize:
         psf = psf / jnp.sum(psf)
     if any(p > f for p, f in zip(psf.shape, fft_shape)):
         psf = align_size_3d(psf, fft_shape)
     padded = pad_psf_to_origin(psf, fft_shape)
+    if _fft_impl(fft_shape) == "matmul":
+        from microimagelib_tpu.ops.fft_matmul import rfft3_mm
+
+        re, im = rfft3_mm(padded)
+        return jax.lax.complex(re, im)
     return jnp.fft.rfftn(padded)
 
 
@@ -79,16 +92,26 @@ def _conv_spec(x, otf, shape):
     return jnp.fft.irfftn(jnp.fft.rfftn(x) * otf, s=shape)
 
 
-def _fft_impl(shape):
+def _fft_impl(shape, arr=None):
     """Resolve the FFT backend for the RL loops: ``MIL_FFT_IMPL`` =
     xla | matmul | auto. Auto picks the MXU matmul-form DFT
     (ops/fft_matmul.py) on TPU for volumes where it was measured faster
     than XLA's FFT (BASELINE.md round-2 measurement); smaller volumes and
-    other backends keep ``jnp.fft``."""
+    other backends keep ``jnp.fft``. When ``arr`` is a committed jax
+    array, ITS device decides — a CPU-pinned volume (mem_mode 0) on a
+    TPU host must not take the MXU-motivated dense-matmul path."""
     impl = os.environ.get("MIL_FFT_IMPL", "auto")
     if impl in ("xla", "matmul"):
         return impl
-    if jax.default_backend() != "tpu":
+    platform = None
+    if arr is not None:
+        try:
+            platform = next(iter(arr.devices())).platform
+        except Exception:
+            platform = None
+    if platform is None:
+        platform = jax.default_backend()
+    if platform != "tpu":
         return "xla"
     vox = shape[0] * shape[1] * shape[2]
     min_vox = int(os.environ.get("MIL_FFT_MM_MIN_VOXELS", str(2 ** 23)))
@@ -133,7 +156,7 @@ def rl_decon_single(img, otf, otf_bp, n_iters, const_initial=False):
     reference:src/api_subfunc.cu:3404-3416.) The FFT backend is resolved
     per call by :func:`_fft_impl`."""
     return _rl_single(img, otf, otf_bp, n_iters, const_initial,
-                      _fft_impl(img.shape), mm_precision())
+                      _fft_impl(img.shape, img), mm_precision())
 
 
 @partial(jax.jit,
@@ -181,7 +204,8 @@ def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters, const
     (``decon_dualview_OTF1``, reference:src/api_subfunc.cu:3634-3660).
     The FFT backend is resolved per call by :func:`_fft_impl`."""
     return _rl_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
-                    const_initial, _fft_impl(img_a.shape), mm_precision())
+                    const_initial, _fft_impl(img_a.shape, img_a),
+                    mm_precision())
 
 
 # --------------------------------------------------------------------------

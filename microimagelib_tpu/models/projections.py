@@ -147,10 +147,16 @@ def mip3d(img, r_axis, project_num=36):
     # through exactly (rot_to_matrix always satisfies this) and the
     # per-frame weight matrix fits the transient-memory cap
     if r_axis == 2:
-        passthrough = np.allclose(mats[:, 4:8], [0.0, 1.0, 0.0, 0.0])
+        # y passes through AND no y cross-terms feed x/z (the matmul path
+        # drops m[0,1]/m[2,1], so they must be zero for it to be exact)
+        passthrough = (np.allclose(mats[:, 4:8], [0.0, 1.0, 0.0, 0.0])
+                       and np.allclose(mats[:, 1], 0.0)
+                       and np.allclose(mats[:, 9], 0.0))
         s, p = sz * sx, out_shape[0] * out_shape[2]
     else:
-        passthrough = np.allclose(mats[:, 0:4], [1.0, 0.0, 0.0, 0.0])
+        passthrough = (np.allclose(mats[:, 0:4], [1.0, 0.0, 0.0, 0.0])
+                       and np.allclose(mats[:, 4], 0.0)
+                       and np.allclose(mats[:, 8], 0.0))
         s, p = sz * sy, out_shape[0] * out_shape[1]
     cap = int(os.environ.get("MIL_MIP_MATMUL_MAX_BYTES", str(3 << 30)))
     if passthrough and s * p * 4 <= cap:

@@ -184,7 +184,7 @@ def _phasor_surface(img1, img2):
     if img1.ndim == 3:
         from microimagelib_tpu.models.deconvolution import _fft_impl
 
-        if _fft_impl(img1.shape) == "matmul":
+        if _fft_impl(img1.shape, img1) == "matmul":
             return _phasor_surface3_mm(img1, img2)
     return _phasor_surface3(img1, img2)
 
@@ -410,32 +410,35 @@ def reg3d_phasor_lowmem(img1, img2, budget_bytes=None):
     b = np.asarray(img2, np.float32)
     sz, sy, sx = a.shape
     xh = sx // 2 + 1
+    # ceil-sized chunks with a possibly-smaller tail cover EVERY row for
+    # arbitrary extents (a floor-sized loop would skip the tail and leak
+    # uninitialized scratch into the z-FFT)
     nz, ny = _chunk_counts(a.shape, budget_bytes)
-    cz, cy = sz // nz, sy // ny
+    cz, cy = -(-sz // nz), -(-sy // ny)
     from microimagelib_tpu.models.decon_streamed import _fft2_slab
 
     spec1r = np.empty((sz, sy, xh), np.float32)
     spec1i = np.empty((sz, sy, xh), np.float32)
     spec2r = np.empty((sz, sy, xh), np.float32)
     spec2i = np.empty((sz, sy, xh), np.float32)
-    for i in range(nz):
-        sl = slice(i * cz, (i + 1) * cz)
+    for lo in range(0, sz, cz):
+        sl = slice(lo, min(lo + cz, sz))
         r, m = _fft2_slab(a[sl])
         spec1r[sl], spec1i[sl] = np.asarray(r), np.asarray(m)
         r, m = _fft2_slab(b[sl])
         spec2r[sl], spec2i[sl] = np.asarray(r), np.asarray(m)
-    for j in range(ny):
-        sl = slice(j * cy, (j + 1) * cy)
+    for lo in range(0, sy, cy):
+        sl = slice(lo, min(lo + cy, sy))
         r, m = _crosspow_chunk(spec1r[:, sl], spec1i[:, sl],
                                spec2r[:, sl], spec2i[:, sl])
         spec1r[:, sl], spec1i[:, sl] = np.asarray(r), np.asarray(m)
     best_val, best_idx = -np.inf, 0
-    for i in range(nz):
-        sl = slice(i * cz, (i + 1) * cz)
+    for lo in range(0, sz, cz):
+        sl = slice(lo, min(lo + cz, sz))
         v, idx = _irfft2_argmax_slab(spec1r[sl], spec1i[sl], sx)
         v = float(v)
         if v > best_val:
-            best_val, best_idx = v, int(idx) + i * cz * sy * sx
+            best_val, best_idx = v, int(idx) + lo * sy * sx
     pz, rem = divmod(best_idx, sy * sx)
     py, px = divmod(rem, sx)
 
@@ -463,10 +466,10 @@ def reg3d_phasor_lowmem(img1, img2, budget_bytes=None):
     offs3 = jnp.asarray(np.asarray(offs, np.int32))
     cs3 = jnp.asarray(np.asarray(cs, np.int32))
     acc = np.zeros((len(combs), 6), np.float64)
-    for i in range(nz):
-        sl = slice(i * cz, (i + 1) * cz)
+    for lo in range(0, sz, cz):
+        sl = slice(lo, min(lo + cz, sz))
         acc += np.asarray(_box_stats_slab(a[sl], shifted[sl],
-                                          jnp.int32(i * cz), offs3, cs3),
+                                          jnp.int32(lo), offs3, cs3),
                           np.float64)
     ccs = np.full(len(combs), -3.0)
     for k in range(len(combs)):
@@ -846,6 +849,9 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
         return _reg3d_affine_lowmem(img1, img2, aff_method, flag_tmx, tmx,
                                     ftol, it_limit, verbose, records,
                                     device, engine)
+    if mem_mode == 0 and device is None:
+        # CPU processing tier, matching the decon entries' mode-0 routing
+        device = jax.devices("cpu")[0]
     img1 = jnp.asarray(img1, jnp.float32)
     img2 = jnp.asarray(img2, jnp.float32)
     if device is not None:
@@ -1288,8 +1294,11 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
     from microimagelib_tpu.utils.device import free_memory_mb
 
     records[8] = free_memory_mb(device)
+    mem_mode_requested = mem_mode
     mem_mode = _resolve_reg_mem_mode(np.shape(img1), mem_mode, device)
     beyond_hbm = mem_mode == 2 and not _reg_mode1_fits(np.shape(img1), device)
+    if mem_mode == 0 and device is None:
+        device = jax.devices("cpu")[0]
     if beyond_hbm:
         # beyond-HBM: volumes stay host-resident end to end; the lowmem
         # affine tier pools its own pyramid, so the outer one is skipped
@@ -1328,7 +1337,9 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
         from microimagelib_tpu.models.deconvolution import hbm_budget_bytes
 
         use_lowmem = mem_mode == 2
-        if mem_mode == -1:
+        if mem_mode_requested == -1 and not use_lowmem:
+            # the affine resolution above uses a ~5-volume working set;
+            # the phasor needs ~6 — re-probe with its own footprint
             budget = hbm_budget_bytes(device)
             if budget is not None and 6 * i1.size * 4 > budget * 0.92:
                 use_lowmem = True

@@ -51,17 +51,22 @@ def sum_blocked(x):
     return jnp.sum(partials)
 
 
-def _trilerp_flat(src, cx, cy, cz, strict_lo):
-    """Trilinear sample of (z,y,x) volume ``src`` at float coords
-    (cx, cy, cz) in index space, zero outside the validity box."""
-    sz, sy, sx = src.shape
-    flat = src.reshape(-1)
+def _trilerp_window(src_win, cx, cy, cz, strict_lo, win_start, sz_global):
+    """Trilinear sample at float coords (cx, cy, cz) in GLOBAL index
+    space, zero outside the validity box. ``src_win`` holds global z rows
+    [win_start, win_start + wz) of a (sz_global, sy, sx) volume — the
+    full-volume case is simply win_start=0, wz=sz_global. This is the
+    single source of truth for the CUDA-texture sampling contract (+0.5
+    validity box, per-texel clamp addressing) shared by the full,
+    windowed, and streamed affine/corr paths."""
+    wz, sy, sx = src_win.shape
+    flat = src_win.reshape(-1)
 
     if strict_lo:
         valid = (cx > -0.5) & (cy > -0.5) & (cz > -0.5)
     else:
         valid = (cx >= -0.5) & (cy >= -0.5) & (cz >= -0.5)
-    valid &= (cx < sx - 0.5) & (cy < sy - 0.5) & (cz < sz - 0.5)
+    valid &= (cx < sx - 0.5) & (cy < sy - 0.5) & (cz < sz_global - 0.5)
 
     x0 = jnp.floor(cx)
     y0 = jnp.floor(cy)
@@ -71,7 +76,9 @@ def _trilerp_flat(src, cx, cy, cz, strict_lo):
     fz = cz - z0
 
     # clamp each footprint texel independently (CUDA clamp addressing):
-    # at c in [-1, 0) both neighbors resolve to texel 0
+    # at c in [-1, 0) both neighbors resolve to texel 0. Global clamp
+    # first, then window-local — the second clip only ever moves indices
+    # of masked-out samples.
     x0r = x0.astype(jnp.int32)
     y0r = y0.astype(jnp.int32)
     z0r = z0.astype(jnp.int32)
@@ -79,8 +86,8 @@ def _trilerp_flat(src, cx, cy, cz, strict_lo):
     x1i = jnp.clip(x0r + 1, 0, sx - 1)
     y0i = jnp.clip(y0r, 0, sy - 1)
     y1i = jnp.clip(y0r + 1, 0, sy - 1)
-    z0i = jnp.clip(z0r, 0, sz - 1)
-    z1i = jnp.clip(z0r + 1, 0, sz - 1)
+    z0i = jnp.clip(jnp.clip(z0r, 0, sz_global - 1) - win_start, 0, wz - 1)
+    z1i = jnp.clip(jnp.clip(z0r + 1, 0, sz_global - 1) - win_start, 0, wz - 1)
 
     # mode="clip" skips XLA's out-of-bounds fill checks — indices are
     # already clipped above, and the default 'fill' mode measured 3.7x
@@ -108,6 +115,12 @@ def _trilerp_flat(src, cx, cy, cz, strict_lo):
     c1 = c10 + (c11 - c10) * fy
     val = c0 + (c1 - c0) * fz
     return jnp.where(valid, val, 0.0)
+
+
+def _trilerp_flat(src, cx, cy, cz, strict_lo):
+    """Full-volume trilinear sample (see :func:`_trilerp_window`)."""
+    return _trilerp_window(src, cx, cy, cz, strict_lo,
+                           jnp.int32(0), src.shape[0])
 
 
 def _out_coords(out_shape, tmx):
@@ -165,7 +178,7 @@ def corr3d_partials_window(src_win, target_block, tmx, z0_out, win_start,
     fetches only ever happen for masked-out samples).
 
     z0_out/win_start may be traced (one compiled program per shape)."""
-    wz, sy, sx = src_win.shape
+    _wz, sy, sx = src_win.shape
     bz = target_block.shape[0]
     tmx = jnp.asarray(tmx, dtype=jnp.float32)
     xs = jnp.arange(sx, dtype=jnp.float32)[None, None, :]
@@ -176,49 +189,7 @@ def corr3d_partials_window(src_win, target_block, tmx, z0_out, win_start,
     cx = m[0, 0] * xs + m[0, 1] * ys + m[0, 2] * zs + m[0, 3]
     cy = m[1, 0] * xs + m[1, 1] * ys + m[1, 2] * zs + m[1, 3]
     cz = m[2, 0] * xs + m[2, 1] * ys + m[2, 2] * zs + m[2, 3]
-
-    valid = (cx > -0.5) & (cy > -0.5) & (cz > -0.5)
-    valid &= (cx < sx - 0.5) & (cy < sy - 0.5) & (cz < sz_global - 0.5)
-
-    x0 = jnp.floor(cx)
-    y0 = jnp.floor(cy)
-    z0 = jnp.floor(cz)
-    fx = cx - x0
-    fy = cy - y0
-    fz = cz - z0
-    x0r = x0.astype(jnp.int32)
-    y0r = y0.astype(jnp.int32)
-    z0r = z0.astype(jnp.int32)
-    x0i = jnp.clip(x0r, 0, sx - 1)
-    x1i = jnp.clip(x0r + 1, 0, sx - 1)
-    y0i = jnp.clip(y0r, 0, sy - 1)
-    y1i = jnp.clip(y0r + 1, 0, sy - 1)
-    # global clamp first (CUDA clamp addressing), then window-local; the
-    # second clip only ever moves indices of masked-out samples
-    z0i = jnp.clip(jnp.clip(z0r, 0, sz_global - 1) - win_start, 0, wz - 1)
-    z1i = jnp.clip(jnp.clip(z0r + 1, 0, sz_global - 1) - win_start, 0, wz - 1)
-
-    flat = src_win.reshape(-1)
-    syx = sy * sx
-    b00 = z0i * syx + y0i * sx
-    b01 = z0i * syx + y1i * sx
-    b10 = z1i * syx + y0i * sx
-    b11 = z1i * syx + y1i * sx
-    v000 = jnp.take(flat, b00 + x0i, mode="clip")
-    v001 = jnp.take(flat, b00 + x1i, mode="clip")
-    v010 = jnp.take(flat, b01 + x0i, mode="clip")
-    v011 = jnp.take(flat, b01 + x1i, mode="clip")
-    v100 = jnp.take(flat, b10 + x0i, mode="clip")
-    v101 = jnp.take(flat, b10 + x1i, mode="clip")
-    v110 = jnp.take(flat, b11 + x0i, mode="clip")
-    v111 = jnp.take(flat, b11 + x1i, mode="clip")
-    c00 = v000 + (v001 - v000) * fx
-    c01 = v010 + (v011 - v010) * fx
-    c10 = v100 + (v101 - v100) * fx
-    c11 = v110 + (v111 - v110) * fx
-    c0 = c00 + (c01 - c00) * fy
-    c1 = c10 + (c11 - c10) * fy
-    s = jnp.where(valid, c0 + (c1 - c0) * fz, 0.0)
+    s = _trilerp_window(src_win, cx, cy, cz, True, win_start, sz_global)
     return sum_blocked(s * s), sum_blocked(s * target_block)
 
 
@@ -236,7 +207,6 @@ def affine_transform_3d_window(src_win, tmx, block_shape, z0_out, win_start,
     against the GLOBAL z extent; concatenating blocks over the full
     output grid reproduces the unstreamed result exactly, provided each
     window covers its block's valid-sample footprint."""
-    wz, sy, sx = src_win.shape
     bz, oy_n, ox_n = block_shape
     tmx = jnp.asarray(tmx, dtype=jnp.float32)
     xs = jnp.arange(ox_n, dtype=jnp.float32)[None, None, :]
@@ -247,48 +217,43 @@ def affine_transform_3d_window(src_win, tmx, block_shape, z0_out, win_start,
     cx = m[0, 0] * xs + m[0, 1] * ys + m[0, 2] * zs + m[0, 3]
     cy = m[1, 0] * xs + m[1, 1] * ys + m[1, 2] * zs + m[1, 3]
     cz = m[2, 0] * xs + m[2, 1] * ys + m[2, 2] * zs + m[2, 3]
+    return _trilerp_window(src_win, cx, cy, cz, False, win_start, sz_global)
 
-    valid = (cx >= -0.5) & (cy >= -0.5) & (cz >= -0.5)
-    valid &= (cx < sx - 0.5) & (cy < sy - 0.5) & (cz < sz_global - 0.5)
 
-    x0 = jnp.floor(cx)
-    y0 = jnp.floor(cy)
-    z0 = jnp.floor(cz)
-    fx = cx - x0
-    fy = cy - y0
-    fz = cz - z0
-    x0r = x0.astype(jnp.int32)
-    y0r = y0.astype(jnp.int32)
-    z0r = z0.astype(jnp.int32)
-    x0i = jnp.clip(x0r, 0, sx - 1)
-    x1i = jnp.clip(x0r + 1, 0, sx - 1)
-    y0i = jnp.clip(y0r, 0, sy - 1)
-    y1i = jnp.clip(y0r + 1, 0, sy - 1)
-    z0i = jnp.clip(jnp.clip(z0r, 0, sz_global - 1) - win_start, 0, wz - 1)
-    z1i = jnp.clip(jnp.clip(z0r + 1, 0, sz_global - 1) - win_start, 0, wz - 1)
+def _stream_blocks(tmx, sz, oz, oy_n, ox_n, sy, sx, budget_bytes, n_blocks):
+    """Shared plan for the streamed (beyond-HBM) z-block drivers: pick a
+    block count that divides the output z extent within the device
+    budget, then bound each block's source z-window from the affine
+    corners (the map is affine, so extrema are at corners). Returns
+    (bz, bounds, width) with a FIXED window width (16-multiple) so one
+    compiled program serves every block."""
+    import numpy as np
 
-    flat = src_win.reshape(-1)
-    syx = sy * sx
-    b00 = z0i * syx + y0i * sx
-    b01 = z0i * syx + y1i * sx
-    b10 = z1i * syx + y0i * sx
-    b11 = z1i * syx + y1i * sx
-    v000 = jnp.take(flat, b00 + x0i, mode="clip")
-    v001 = jnp.take(flat, b00 + x1i, mode="clip")
-    v010 = jnp.take(flat, b01 + x0i, mode="clip")
-    v011 = jnp.take(flat, b01 + x1i, mode="clip")
-    v100 = jnp.take(flat, b10 + x0i, mode="clip")
-    v101 = jnp.take(flat, b10 + x1i, mode="clip")
-    v110 = jnp.take(flat, b11 + x0i, mode="clip")
-    v111 = jnp.take(flat, b11 + x1i, mode="clip")
-    c00 = v000 + (v001 - v000) * fx
-    c01 = v010 + (v011 - v010) * fx
-    c10 = v100 + (v101 - v100) * fx
-    c11 = v110 + (v111 - v110) * fx
-    c0 = c00 + (c01 - c00) * fy
-    c1 = c10 + (c11 - c10) * fy
-    val = c0 + (c1 - c0) * fz
-    return jnp.where(valid, val, 0.0)
+    if n_blocks is None:
+        if budget_bytes:
+            per = budget_bytes / 4
+            n_blocks = 1
+            while n_blocks < oz and (sz / n_blocks + oz / n_blocks) * sy * sx * 4 > per:
+                n_blocks *= 2
+        else:
+            n_blocks = 1
+    n_blocks = min(n_blocks, oz)
+    while oz % n_blocks:
+        n_blocks //= 2
+    bz = oz // n_blocks
+    m = np.asarray(tmx, np.float64).reshape(3, 4)
+    bounds = []
+    for i in range(n_blocks):
+        zlo, zhi = i * bz, (i + 1) * bz - 1
+        czs = [m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + m[2, 3]
+               for x in (0.0, ox_n - 1.0) for y in (0.0, oy_n - 1.0)
+               for z in (float(zlo), float(zhi))]
+        lo = int(np.clip(np.floor(min(czs)), 0, sz - 1))
+        hi = int(np.clip(np.floor(max(czs)) + 2, 1, sz))
+        bounds.append((lo, hi))
+    width = max(hi - lo for lo, hi in bounds)
+    width = min(-(-width // 16) * 16, sz)
+    return bz, bounds, width
 
 
 def affine_transform_3d_streamed(src_host, tmx, out_shape, budget_bytes=None,
@@ -302,31 +267,8 @@ def affine_transform_3d_streamed(src_host, tmx, out_shape, budget_bytes=None,
     src_host = np.asarray(src_host, np.float32)
     sz, sy, sx = src_host.shape
     oz, oy_n, ox_n = out_shape
-    if n_blocks is None:
-        if budget_bytes:
-            per = budget_bytes / 4
-            n_blocks = 1
-            while n_blocks < oz and (sz // n_blocks + oz // n_blocks) * sy * sx * 4 > per:
-                n_blocks *= 2
-        else:
-            n_blocks = 1
-    n_blocks = min(n_blocks, oz)
-    while oz % n_blocks:
-        n_blocks //= 2
-    bz = oz // n_blocks
-    m = np.asarray(tmx, np.float64).reshape(3, 4)
-    # fixed window width: max footprint over blocks (affine -> corners)
-    bounds = []
-    for i in range(n_blocks):
-        zlo, zhi = i * bz, (i + 1) * bz - 1
-        czs = [m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + m[2, 3]
-               for x in (0.0, ox_n - 1.0) for y in (0.0, oy_n - 1.0)
-               for z in (float(zlo), float(zhi))]
-        lo = int(np.clip(np.floor(min(czs)), 0, sz - 1))
-        hi = int(np.clip(np.floor(max(czs)) + 2, 1, sz))
-        bounds.append((lo, hi))
-    width = max(hi - lo for lo, hi in bounds)
-    width = min(-(-width // 16) * 16, sz)
+    bz, bounds, width = _stream_blocks(tmx, sz, oz, oy_n, ox_n, sy, sx,
+                                       budget_bytes, n_blocks)
     out = np.empty(out_shape, np.float32)
     for i, (lo, hi) in enumerate(bounds):
         start = min(lo, sz - width)
@@ -366,30 +308,8 @@ def corr3d_partials_streamed(src_host, tgt_host, tmx, budget_bytes=None,
     tgt_host = np.asarray(tgt_host, np.float32)
     sz, sy, sx = src_host.shape
     oz = tgt_host.shape[0]
-    if n_blocks is None:
-        if budget_bytes:
-            per = budget_bytes / 4
-            n_blocks = 1
-            while n_blocks < oz and (sz / n_blocks + oz / n_blocks) * sy * sx * 4 > per:
-                n_blocks *= 2
-        else:
-            n_blocks = 1
-    n_blocks = min(n_blocks, oz)
-    while oz % n_blocks:
-        n_blocks //= 2
-    bz = oz // n_blocks
-    m = np.asarray(tmx, np.float64).reshape(3, 4)
-    bounds = []
-    for i in range(n_blocks):
-        zlo, zhi = i * bz, (i + 1) * bz - 1
-        czs = [m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + m[2, 3]
-               for x in (0.0, sx - 1.0) for y in (0.0, sy - 1.0)
-               for z in (float(zlo), float(zhi))]
-        lo = int(np.clip(np.floor(min(czs)), 0, sz - 1))
-        hi = int(np.clip(np.floor(max(czs)) + 2, 1, sz))
-        bounds.append((lo, hi))
-    width = max(hi - lo for lo, hi in bounds)
-    width = min(-(-width // 16) * 16, sz)
+    bz, bounds, width = _stream_blocks(tmx, sz, oz, sy, sx, sy, sx,
+                                       budget_bytes, n_blocks)
     tmx32 = np.asarray(tmx, np.float32)
     ss = st = 0.0
     for i, (lo, hi) in enumerate(bounds):

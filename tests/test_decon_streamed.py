@@ -144,3 +144,47 @@ def test_resolve_mem_mode_explicit_and_auto(monkeypatch):
     assert _resolve_mem_mode(-1, (64, 64, 64), False, None) == 1
     monkeypatch.setenv("MIL_HBM_BUDGET_MB", "1")
     assert _resolve_mem_mode(-1, (64, 64, 64), False, None) == 2
+
+
+def test_streamed_covers_non_pow2_axes():
+    """Ceil-sized chunks with a tail must cover EVERY row: a 48-row z axis
+    with a budget forcing 16 chunks previously skipped the tail and
+    streamed uninitialized scratch into the z-FFT."""
+    import jax.numpy as jnp
+
+    from microimagelib_tpu.models.deconvolution import rl_decon_single
+    from microimagelib_tpu.models.decon_streamed import (
+        np_gen_otf,
+        rl_decon_single_streamed,
+    )
+
+    shape = (40, 24, 20)  # 40 % 16 != 0: forces a tail chunk
+    rng = np.random.default_rng(7)
+    img = (rng.random(shape) * 100 + 1).astype(np.float32)
+    psf = np.exp(-np.sum(np.square(np.mgrid[-2:3, -2:3, -2:3]), 0) / 2.0)
+    psf = (psf / psf.sum()).astype(np.float32)
+    otf = np_gen_otf(psf, shape)
+    otf_bp = np_gen_otf(psf[::-1, ::-1, ::-1], shape)
+    # budget forces multiple chunks that do NOT divide 48 evenly
+    out = rl_decon_single_streamed(img, otf, otf_bp, 3,
+                                   budget_bytes=shape[1] * shape[2] * 4 * 40)
+    from microimagelib_tpu.models.deconvolution import gen_otf
+
+    ref = np.asarray(rl_decon_single(jnp.asarray(img),
+                                     gen_otf(jnp.asarray(psf), shape),
+                                     gen_otf(jnp.asarray(psf[::-1, ::-1, ::-1]), shape),
+                                     3))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_lowmem_phasor_non_pow2_axes():
+    from microimagelib_tpu.models.registration import reg3d_phasor_lowmem
+
+    rng = np.random.default_rng(8)
+    vol = np.zeros((24, 20, 28), np.float32)  # non-pow2 y
+    for _ in range(30):
+        vol[rng.integers(2, 22), rng.integers(2, 18), rng.integers(2, 26)] = \
+            rng.uniform(100, 900)
+    moved = np.roll(vol, (3, -2, 4), axis=(0, 1, 2))
+    found = reg3d_phasor_lowmem(vol, moved, budget_bytes=16 * 1024)
+    assert found == [4, -2, 3]
