@@ -288,11 +288,23 @@ def corr3d_partials_pallas(src, tgt, tmx, interpret=False, k_mode=None,
         return _corr_gather(src_u, tgt_u, tmx)
 
     if k_mode == "cascade":
-        # K tiers 8 -> 16 -> 32 before the exact-gather fallback: line
-        # searches probe far-out matrices whose footprints blow past the
-        # small boxes, and each gather hit costs ~170 ms at 128^3 —
-        # measured ladders with fewer tiers spent most of their time
-        # there (69 s with K=16-only vs ~10 s cascaded)
+        # K tiers 8 -> 16 -> 32 (-> 64 when VMEM allows) before the
+        # exact-gather fallback: line searches probe far-out matrices
+        # whose footprints blow past the small boxes, and each gather hit
+        # costs ~170 ms at 128^3 — measured ladders with fewer tiers
+        # spent most of their time there (69 s with K=16-only vs ~10 s
+        # cascaded). The K=64 tier catches the line search's wild
+        # rotation probes (a 20-degree probe measured 36.7 ms at K=64 vs
+        # 165 ms via gather, exact to 4e-6).
+        k64_bytes = 2 * 4 * min(64, sz) * min(64 + rows, sy) * sxp
+        have64 = k64_bytes <= 12 * 1024 * 1024
+
+        def last_tier(_):
+            if not have64:
+                return gather(None)
+            ss64, st64, fit64 = run(64)
+            return lax.cond(fit64, lambda _: (ss64, st64), gather, None)
+
         ss8, st8, fit8 = run(8)
 
         def escalate16(_):
@@ -300,7 +312,8 @@ def corr3d_partials_pallas(src, tgt, tmx, interpret=False, k_mode=None,
 
             def escalate32(_):
                 ss32, st32, fit32 = run(32)
-                return lax.cond(fit32, lambda _: (ss32, st32), gather, None)
+                return lax.cond(fit32, lambda _: (ss32, st32), last_tier,
+                                None)
 
             return lax.cond(fit16, lambda _: (ss16, st16), escalate32, None)
 
