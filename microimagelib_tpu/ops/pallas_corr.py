@@ -296,28 +296,50 @@ def corr3d_partials_pallas(src, tgt, tmx, interpret=False, k_mode=None,
         # cascaded). The K=64 tier catches the line search's wild
         # rotation probes (a 20-degree probe measured 36.7 ms at K=64 vs
         # 165 ms via gather, exact to 4e-6).
+        #
+        # The START tier comes from a conservative ANALYTIC footprint
+        # bound computed from the matrix, so probes that obviously need a
+        # big box skip the doomed small-tier attempts (each failed tier
+        # costs its full kernel run). The kernel's own exact fit check
+        # still guards every tier — an analytic underestimate only costs
+        # one escalation, never correctness.
         k64_bytes = 2 * 4 * min(64, sz) * min(64 + rows, sy) * sxp
         have64 = k64_bytes <= 12 * 1024 * 1024
 
-        def last_tier(_):
+        span_x = jnp.float32(sx - 1)
+        y_need = (jnp.abs(tmx[4]) * span_x
+                  + jnp.maximum(jnp.abs(tmx[5]) - 1.0, 0.0) * (rows - 1)
+                  + 3.0)
+        z_need = (jnp.abs(tmx[8]) * span_x
+                  + jnp.abs(tmx[9]) * (rows - 1)
+                  + jnp.maximum(jnp.abs(tmx[10]) - 1.0, 0.0) + 3.0)
+        need = jnp.maximum(y_need, z_need)
+
+        def tier64(_):
             if not have64:
                 return gather(None)
             ss64, st64, fit64 = run(64)
             return lax.cond(fit64, lambda _: (ss64, st64), gather, None)
 
-        ss8, st8, fit8 = run(8)
+        def tier32(_):
+            ss32, st32, fit32 = run(32)
+            return lax.cond(fit32, lambda _: (ss32, st32), tier64, None)
 
-        def escalate16(_):
+        def tier16(_):
             ss16, st16, fit16 = run(16)
+            return lax.cond(fit16, lambda _: (ss16, st16), tier32, None)
 
-            def escalate32(_):
-                ss32, st32, fit32 = run(32)
-                return lax.cond(fit32, lambda _: (ss32, st32), last_tier,
-                                None)
+        def tier8(_):
+            ss8, st8, fit8 = run(8)
+            return lax.cond(fit8, lambda _: (ss8, st8), tier16, None)
 
-            return lax.cond(fit16, lambda _: (ss16, st16), escalate32, None)
-
-        return lax.cond(fit8, lambda _: (ss8, st8), escalate16, None)
+        return lax.cond(
+            need <= 8, tier8,
+            lambda _: lax.cond(
+                need <= 16, tier16,
+                lambda _: lax.cond(need <= 32, tier32, tier64, None),
+                None),
+            None)
 
     ss, st, all_fit = run(int(k_mode))
     return lax.cond(all_fit, lambda _: (ss, st), gather, None)
