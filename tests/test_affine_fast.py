@@ -103,3 +103,23 @@ def test_pallas_interpret_matches_gather():
         ss_p, st_p = corr3d_partials_pallas(src, tgt, m, interpret=True)
         np.testing.assert_allclose(float(ss_p), float(ss_g), rtol=2e-4)
         np.testing.assert_allclose(float(st_p), float(st_g), rtol=2e-4)
+
+
+def test_pallas_tier_selection_fuzz():
+    """The analytic start-tier selection must stay exact across random
+    9-DOF matrices (underestimates escalate via the fit check; this
+    guards against a bound that silently skips a NEEDED tier)."""
+    from microimagelib_tpu.ops.pallas_corr import corr3d_partials_pallas
+
+    rng = np.random.default_rng(3)
+    src, tgt = vols((16, 32, 32), seed=13)
+    for _ in range(8):
+        dof = np.concatenate([rng.uniform(-3, 3, 3),
+                              rng.uniform(-30, 30, 3),
+                              rng.uniform(0.8, 1.3, 3)])
+        m = dof_to_matrix(dof, 9)
+        ss_g, st_g = corr3d_partials(src, tgt, m)
+        ss_p, st_p = corr3d_partials_pallas(src, tgt, m, interpret=True)
+        np.testing.assert_allclose(float(ss_p), float(ss_g), rtol=5e-4)
+        np.testing.assert_allclose(float(st_p), float(st_g), rtol=5e-4,
+                                   atol=1e-3)
