@@ -90,6 +90,21 @@ def np_gen_otf(psf, fft_shape, normalize=True):
     return np.fft.rfftn(tmp).astype(np.complex64)
 
 
+def _pad_axis(arr, axis, size, fill=0.0):
+    """Pad ``arr`` along ``axis`` up to ``size`` rows (no-op when already
+    full) — keeps every streamed pass on ONE compiled chunk shape."""
+    n = arr.shape[axis]
+    if n == size:
+        return arr
+    shape = list(arr.shape)
+    shape[axis] = size
+    out = np.full(shape, fill, arr.dtype)
+    sl = [slice(None)] * arr.ndim
+    sl[axis] = slice(0, n)
+    out[tuple(sl)] = arr
+    return out
+
+
 def _split_planes(spec):
     """Host complex64 -> contiguous f32 (re, im) planes (c64 never
     crosses the host/device boundary on the axon TPU)."""
@@ -144,8 +159,9 @@ def _irfft2_update_slab(sr, si, est_slab, x_out):
 
 def _chunk_counts(fft_shape, budget_bytes):
     """Pick power-of-two chunk counts along z (pass 1/3) and y (pass 2) so
-    each per-chunk device program stays within ~1/4 of the budget. FFT
-    grids are snapped to pow2/64 multiples so powers of two divide."""
+    each per-chunk device program stays within ~1/4 of the budget. The
+    counts need not divide the axes: the streamed loops use ceil-sized
+    chunks with a (padded) tail, so any extent is covered."""
     fz, fy, fx = fft_shape
     xh = fx // 2 + 1
     if budget_bytes is None or budget_bytes <= 0:
@@ -174,29 +190,43 @@ def _conv_streamed(vol, spec_r, spec_i, otf_r, otf_i, out, elementwise,
     'ratio' (other=img) or 'update' (other=est, in which case out may
     alias other).
 
-    Chunks are ceil-sized with a possibly-smaller TAIL chunk, so every
-    row is covered for ANY axis extent (FFT grids are 64-multiples, not
-    necessarily powers of two; a floor-sized chunk loop would silently
-    skip the tail and stream uninitialized scratch into the z-FFT)."""
+    Chunks are ceil-sized, and the TAIL chunk is zero-PADDED back to the
+    full chunk shape, so every row is covered for ANY axis extent (FFT
+    grids are 64-multiples, not necessarily powers of two; a floor-sized
+    chunk loop would silently skip the tail) while every pass keeps ONE
+    compiled program — a second tail-shaped program would pay another
+    minutes-scale axon device program load. Zero rows transform to zero
+    spectra in the row-wise 2D passes and zero columns through the z
+    pass, so padding never contaminates real rows."""
     fz = vol.shape[0]
     fy = vol.shape[1]
     cz = -(-fz // nz)
     cy = -(-fy // ny)
     for lo in range(0, fz, cz):
-        sl = slice(lo, min(lo + cz, fz))
-        r, m = _fft2_slab(vol[sl])
-        spec_r[sl] = np.asarray(r)
-        spec_i[sl] = np.asarray(m)
+        n = min(cz, fz - lo)
+        sl = slice(lo, lo + n)
+        r, m = _fft2_slab(_pad_axis(vol[sl], 0, cz))
+        spec_r[sl] = np.asarray(r)[:n]
+        spec_i[sl] = np.asarray(m)[:n]
     for lo in range(0, fy, cy):
-        sl = slice(lo, min(lo + cy, fy))
-        r, m = _fftz_mul_ifftz(spec_r[:, sl], spec_i[:, sl],
-                               otf_r[:, sl], otf_i[:, sl])
-        spec_r[:, sl] = np.asarray(r)
-        spec_i[:, sl] = np.asarray(m)
+        n = min(cy, fy - lo)
+        sl = slice(lo, lo + n)
+        r, m = _fftz_mul_ifftz(_pad_axis(spec_r[:, sl], 1, cy),
+                               _pad_axis(spec_i[:, sl], 1, cy),
+                               _pad_axis(otf_r[:, sl], 1, cy),
+                               _pad_axis(otf_i[:, sl], 1, cy))
+        spec_r[:, sl] = np.asarray(r)[:, :n]
+        spec_i[:, sl] = np.asarray(m)[:, :n]
     fn = _irfft2_ratio_slab if elementwise == "ratio" else _irfft2_update_slab
     for lo in range(0, fz, cz):
-        sl = slice(lo, min(lo + cz, fz))
-        out[sl] = np.asarray(fn(spec_r[sl], spec_i[sl], other[sl], x_out))
+        n = min(cz, fz - lo)
+        sl = slice(lo, lo + n)
+        # the 'other' operand pads with ONES so the fused ratio/update
+        # elementwise stage never divides or multiplies by zero in the
+        # padded rows (they are sliced away regardless)
+        res = fn(_pad_axis(spec_r[sl], 0, cz), _pad_axis(spec_i[sl], 0, cz),
+                 _pad_axis(other[sl], 0, cz, fill=1.0), x_out)
+        out[sl] = np.asarray(res)[:n]
 
 
 def rl_decon_single_streamed(img, otf, otf_bp, n_iters, const_initial=False,

@@ -55,7 +55,22 @@ SMALLVALUE = 0.01
 # OTF preparation
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("fft_shape", "normalize"))
+@partial(jax.jit, static_argnames=("fft_shape", "normalize", "fft_impl"))
+def _gen_otf(psf, fft_shape, normalize, fft_impl):
+    psf = jnp.asarray(psf, dtype=jnp.float32)
+    if normalize:
+        psf = psf / jnp.sum(psf)
+    if any(p > f for p, f in zip(psf.shape, fft_shape)):
+        psf = align_size_3d(psf, fft_shape)
+    padded = pad_psf_to_origin(psf, fft_shape)
+    if fft_impl == "matmul":
+        from microimagelib_tpu.ops.fft_matmul import rfft3_mm
+
+        re, im = rfft3_mm(padded)
+        return jax.lax.complex(re, im)
+    return jnp.fft.rfftn(padded)
+
+
 def gen_otf(psf, fft_shape, normalize=True):
     """PSF -> OTF on the (z, y, x) FFT grid ``fft_shape``.
 
@@ -64,24 +79,13 @@ def gen_otf(psf, fft_shape, normalize=True):
     rFFT. (``genOTFgpu``, reference:src/api_subfunc.cu:3269-3307.)
 
     Grids that the RL loop routes through the matmul DFT build their OTF
-    the same way, keeping forward and inverse transforms consistent
-    (measurement showed XLA's TPU rfftn of the sparse PSF grid was still
-    accurate at 512^3 — the C2R side carries the >=2^24-voxel defect —
-    but one source of transform truth is cheaper to reason about). The
-    OTF stays device-resident as complex64; only host<->device c64
-    TRANSFERS are unsupported on axon."""
-    psf = jnp.asarray(psf, dtype=jnp.float32)
-    if normalize:
-        psf = psf / jnp.sum(psf)
-    if any(p > f for p, f in zip(psf.shape, fft_shape)):
-        psf = align_size_3d(psf, fft_shape)
-    padded = pad_psf_to_origin(psf, fft_shape)
-    if _fft_impl(fft_shape) == "matmul":
-        from microimagelib_tpu.ops.fft_matmul import rfft3_mm
-
-        re, im = rfft3_mm(padded)
-        return jax.lax.complex(re, im)
-    return jnp.fft.rfftn(padded)
+    the same way, keeping forward and inverse transforms consistent; the
+    impl is resolved from the CONCRETE psf array's committed device (a
+    CPU-pinned PSF in mem_mode 0 keeps the CPU FFT). The OTF stays
+    device-resident as complex64; only host<->device c64 TRANSFERS are
+    unsupported on axon."""
+    return _gen_otf(psf, tuple(fft_shape), normalize,
+                    _fft_impl(fft_shape, psf))
 
 
 # --------------------------------------------------------------------------

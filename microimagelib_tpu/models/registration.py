@@ -370,8 +370,13 @@ def _crosspow_chunk(s1r, s1i, s2r, s2i):
 
 
 @partial(jax.jit, static_argnames=("x_out",))
-def _irfft2_argmax_slab(sr, si, x_out):
+def _irfft2_argmax_slab(sr, si, n_valid, x_out):
+    """Peak over the slab's first ``n_valid`` z rows (the tail slab is
+    zero-padded to the chunk shape to keep one compiled program; padded
+    rows must not win the argmax over negative true surface values)."""
     s = jnp.fft.irfft2(jax.lax.complex(sr, si), s=(sr.shape[1], x_out))
+    zi = jnp.arange(s.shape[0])[:, None, None]
+    s = jnp.where(zi < n_valid, s, -jnp.inf)
     idx = jnp.argmax(s)
     return s.reshape(-1)[idx], idx
 
@@ -410,32 +415,41 @@ def reg3d_phasor_lowmem(img1, img2, budget_bytes=None):
     b = np.asarray(img2, np.float32)
     sz, sy, sx = a.shape
     xh = sx // 2 + 1
-    # ceil-sized chunks with a possibly-smaller tail cover EVERY row for
-    # arbitrary extents (a floor-sized loop would skip the tail and leak
-    # uninitialized scratch into the z-FFT)
+    # ceil-sized chunks, tail zero-padded back to the chunk shape: every
+    # row covered for arbitrary extents (a floor-sized loop would skip
+    # the tail and leak uninitialized scratch into the z-FFT) with ONE
+    # compiled program per pass (a tail-shaped second program would pay
+    # another minutes-scale axon device load)
     nz, ny = _chunk_counts(a.shape, budget_bytes)
     cz, cy = -(-sz // nz), -(-sy // ny)
-    from microimagelib_tpu.models.decon_streamed import _fft2_slab
+    from microimagelib_tpu.models.decon_streamed import _fft2_slab, _pad_axis
 
     spec1r = np.empty((sz, sy, xh), np.float32)
     spec1i = np.empty((sz, sy, xh), np.float32)
     spec2r = np.empty((sz, sy, xh), np.float32)
     spec2i = np.empty((sz, sy, xh), np.float32)
     for lo in range(0, sz, cz):
-        sl = slice(lo, min(lo + cz, sz))
-        r, m = _fft2_slab(a[sl])
-        spec1r[sl], spec1i[sl] = np.asarray(r), np.asarray(m)
-        r, m = _fft2_slab(b[sl])
-        spec2r[sl], spec2i[sl] = np.asarray(r), np.asarray(m)
+        n = min(cz, sz - lo)
+        sl = slice(lo, lo + n)
+        r, m = _fft2_slab(_pad_axis(a[sl], 0, cz))
+        spec1r[sl], spec1i[sl] = np.asarray(r)[:n], np.asarray(m)[:n]
+        r, m = _fft2_slab(_pad_axis(b[sl], 0, cz))
+        spec2r[sl], spec2i[sl] = np.asarray(r)[:n], np.asarray(m)[:n]
     for lo in range(0, sy, cy):
-        sl = slice(lo, min(lo + cy, sy))
-        r, m = _crosspow_chunk(spec1r[:, sl], spec1i[:, sl],
-                               spec2r[:, sl], spec2i[:, sl])
-        spec1r[:, sl], spec1i[:, sl] = np.asarray(r), np.asarray(m)
+        n = min(cy, sy - lo)
+        sl = slice(lo, lo + n)
+        r, m = _crosspow_chunk(_pad_axis(spec1r[:, sl], 1, cy),
+                               _pad_axis(spec1i[:, sl], 1, cy),
+                               _pad_axis(spec2r[:, sl], 1, cy),
+                               _pad_axis(spec2i[:, sl], 1, cy))
+        spec1r[:, sl], spec1i[:, sl] = np.asarray(r)[:, :n], np.asarray(m)[:, :n]
     best_val, best_idx = -np.inf, 0
     for lo in range(0, sz, cz):
-        sl = slice(lo, min(lo + cz, sz))
-        v, idx = _irfft2_argmax_slab(spec1r[sl], spec1i[sl], sx)
+        n = min(cz, sz - lo)
+        sl = slice(lo, lo + n)
+        v, idx = _irfft2_argmax_slab(_pad_axis(spec1r[sl], 0, cz),
+                                     _pad_axis(spec1i[sl], 0, cz),
+                                     jnp.int32(n), sx)
         v = float(v)
         if v > best_val:
             best_val, best_idx = v, int(idx) + lo * sy * sx
@@ -467,8 +481,12 @@ def reg3d_phasor_lowmem(img1, img2, budget_bytes=None):
     cs3 = jnp.asarray(np.asarray(cs, np.int32))
     acc = np.zeros((len(combs), 6), np.float64)
     for lo in range(0, sz, cz):
-        sl = slice(lo, min(lo + cz, sz))
-        acc += np.asarray(_box_stats_slab(a[sl], shifted[sl],
+        n = min(cz, sz - lo)
+        sl = slice(lo, lo + n)
+        # padded z rows have global zi >= sz, outside every candidate
+        # box, so their weight is 0 and they contribute nothing
+        acc += np.asarray(_box_stats_slab(_pad_axis(a[sl], 0, cz),
+                                          _pad_axis(shifted[sl], 0, cz),
                                           jnp.int32(lo), offs3, cs3),
                           np.float64)
     ccs = np.full(len(combs), -3.0)
@@ -897,7 +915,10 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
         raise ValueError("SD of image 1 is zero, empty image input")
 
     # --- cost closure: one fused device call per evaluation ---
-    from microimagelib_tpu.ops.affine_fast import corr3d_auto
+    from microimagelib_tpu.ops.affine_fast import (
+        corr3d_auto,
+        resolve_ncc_impl,
+    )
 
     def cost_from_matrix(m12):
         ss, st = corr3d_auto(src_ms, tgt_ms, np.asarray(m12, np.float32))
@@ -965,13 +986,16 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
 
         def stage_powell(p0, mode, this_ftol):
             def func(p):
-                return float(cost_eval_reg_device(src_ms, tgt_ms, sd_t_f,
-                                                  np.asarray(p, np.float32), mode))
+                return float(cost_eval_reg_device(
+                    src_ms, tgt_ms, sd_t_f, np.asarray(p, np.float32),
+                    mode, ncc_impl=resolve_ncc_impl(src_ms)))
 
             def linmin_fn(p_cur, xi_cur):
                 return linmin_reg_device(src_ms, tgt_ms, sd_t_f,
                                          np.asarray(p_cur, np.float32),
-                                         np.asarray(xi_cur, np.float32), mode)
+                                         np.asarray(xi_cur, np.float32),
+                                         mode,
+                                         ncc_impl=resolve_ncc_impl(src_ms))
 
             counter.func = func
             p_min, f_min, _, _ = powell(p0, func, this_ftol, it_limit,
@@ -1037,7 +1061,8 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
 
         aff_dev, fret_dev, stage_costs, nev = reg_ladder_device(
             src_ms, tgt_ms, jnp.float32(sd_t), jnp.asarray(p_init, jnp.float32),
-            aff_method, jnp.float32(ftol), jnp.int32(it_limit))
+            aff_method, jnp.float32(ftol), jnp.int32(it_limit),
+            ncc_impl=resolve_ncc_impl(src_ms))
         aff_coef = np.asarray(aff_dev, np.float32)
         fret = float(fret_dev)
         stage = np.asarray(stage_costs)

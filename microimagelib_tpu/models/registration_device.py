@@ -89,14 +89,16 @@ def matrix_to_params_jnp(m):
 # the ladder as one program
 # ---------------------------------------------------------------------------
 
-def _make_cost(src_ms, tgt_ms, sd_t):
+def _make_cost(src_ms, tgt_ms, sd_t, ncc_impl=None):
     """NCC cost of a 12-vector matrix against preprocessed volumes,
     through the configured resample implementation (MXU one-hot matmuls
-    by default, per-voxel gathers with MIL_NCC_IMPL=gather)."""
+    by default, per-voxel gathers with MIL_NCC_IMPL=gather). Under jit
+    the tracer carries no device, so callers resolve ``ncc_impl``
+    eagerly (affine_fast.resolve_ncc_impl) and pass it as a static."""
     from microimagelib_tpu.ops.affine_fast import corr3d_auto
 
     def cost_m(m12):
-        ss, st = corr3d_auto(src_ms, tgt_ms, m12)
+        ss, st = corr3d_auto(src_ms, tgt_ms, m12, impl=ncc_impl)
         ssf = jnp.sqrt(ss)
         ncc = jnp.where(ssf == 0, jnp.float32(-2.0), (st / ssf) / sd_t)
         return -ncc
@@ -104,15 +106,16 @@ def _make_cost(src_ms, tgt_ms, sd_t):
     return cost_m
 
 
-@partial(jax.jit, static_argnames=("aff_method",))
-def reg_ladder_device(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol, it_limit):
+@partial(jax.jit, static_argnames=("aff_method", "ncc_impl"))
+def reg_ladder_device(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
+                      it_limit, ncc_impl=None):
     """Run the affMethod 1-7 search on device. Inputs are the
     mean-subtracted source/target volumes, the target SD, and the initial
     12-param vector (identity unless affMethod==5 with an input matrix).
 
     Returns (aff_coef 12-vec, fret, cost_stage records (4,), total_evals).
     Stage records mirror the reference's intermediate NCC telemetry."""
-    cost_m = _make_cost(src_ms, tgt_ms, sd_t)
+    cost_m = _make_cost(src_ms, tgt_ms, sd_t, ncc_impl)
 
     def cost12(p):
         return cost_m(params_to_matrix_jnp(p))
@@ -170,9 +173,9 @@ def _make_dof_cost(cost_m, dof_num: int):
     return fn
 
 
-@jax.jit
-def initial_cost_device(src_ms, tgt_ms, sd_t, p_init12):
-    cost_m = _make_cost(src_ms, tgt_ms, sd_t)
+@partial(jax.jit, static_argnames=("ncc_impl",))
+def initial_cost_device(src_ms, tgt_ms, sd_t, p_init12, ncc_impl=None):
+    cost_m = _make_cost(src_ms, tgt_ms, sd_t, ncc_impl)
     return cost_m(params_to_matrix_jnp(p_init12))
 
 
@@ -192,8 +195,8 @@ from microimagelib_tpu.ops.powell_device import _linmin as _linmin_dev  # noqa: 
 _COST_MODES = ("dof3", "dof6", "dof7", "dof9", "p12")
 
 
-def _cost_for_mode(src_ms, tgt_ms, sd_t, mode):
-    cost_m = _make_cost(src_ms, tgt_ms, sd_t)
+def _cost_for_mode(src_ms, tgt_ms, sd_t, mode, ncc_impl=None):
+    cost_m = _make_cost(src_ms, tgt_ms, sd_t, ncc_impl)
     if mode == "p12":
         return lambda p: cost_m(params_to_matrix_jnp(p))
     dof_num = int(mode[3:])
@@ -204,16 +207,16 @@ def _cost_for_mode(src_ms, tgt_ms, sd_t, mode):
     return fn
 
 
-@partial(jax.jit, static_argnames=("mode",))
-def linmin_reg_device(src_ms, tgt_ms, sd_t, p, xi, mode):
+@partial(jax.jit, static_argnames=("mode", "ncc_impl"))
+def linmin_reg_device(src_ms, tgt_ms, sd_t, p, xi, mode, ncc_impl=None):
     """One full line minimization of the registration cost on device.
     Returns (p_new, xi_scaled, f_min, n_evals)."""
-    cost = _cost_for_mode(src_ms, tgt_ms, sd_t, mode)
+    cost = _cost_for_mode(src_ms, tgt_ms, sd_t, mode, ncc_impl)
     return _linmin_dev(cost, jnp.asarray(p, jnp.float32), jnp.asarray(xi, jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("mode",))
-def cost_eval_reg_device(src_ms, tgt_ms, sd_t, p, mode):
+@partial(jax.jit, static_argnames=("mode", "ncc_impl"))
+def cost_eval_reg_device(src_ms, tgt_ms, sd_t, p, mode, ncc_impl=None):
     """Single cost evaluation (Powell's extrapolation probe)."""
-    cost = _cost_for_mode(src_ms, tgt_ms, sd_t, mode)
+    cost = _cost_for_mode(src_ms, tgt_ms, sd_t, mode, ncc_impl)
     return cost(jnp.asarray(p, jnp.float32))

@@ -143,7 +143,29 @@ def corr3d_partials_mxu(src, tgt, tmx, box_k=DEFAULT_K):
     return lax.cond(all_fit, fast, slow, None)
 
 
-def corr3d_auto(src, tgt, tmx):
+def resolve_ncc_impl(arr=None):
+    """Resolve MIL_NCC_IMPL's 'auto' against the committed device of
+    ``arr`` (falling back to the default backend). Must run EAGERLY —
+    tracers carry no device."""
+    import os
+
+    import jax
+
+    impl = os.environ.get("MIL_NCC_IMPL", "auto")
+    if impl != "auto":
+        return impl
+    platform = None
+    if arr is not None:
+        try:
+            platform = next(iter(arr.devices())).platform
+        except Exception:
+            platform = None
+    if platform is None:
+        platform = jax.default_backend()
+    return "pallas" if platform == "tpu" else "mxu"
+
+
+def corr3d_auto(src, tgt, tmx, impl=None):
     """NCC partials through the configured implementation
     (MIL_NCC_IMPL = pallas | mxu | gather | auto, default auto):
 
@@ -154,14 +176,14 @@ def corr3d_auto(src, tgt, tmx):
                (~63 ms); TPU only
       auto   — pallas on TPU backends, mxu elsewhere
 
-    All are numerically equivalent (f32 summation order, ~1e-5)."""
-    import os
-
-    import jax
-
-    impl = os.environ.get("MIL_NCC_IMPL", "auto")
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "mxu"
+    All are numerically equivalent (f32 summation order, ~1e-5). Auto
+    keys off the COMMITTED device of ``src`` when it has one — a
+    CPU-pinned volume (registration mem_mode 0) on a TPU host must not
+    pick the Mosaic kernel, which cannot lower for CPU. Inside a jit
+    trace ``src`` carries no device; callers there must resolve eagerly
+    with :func:`resolve_ncc_impl` and pass ``impl`` explicitly."""
+    if impl is None:
+        impl = resolve_ncc_impl(src)
     if impl == "gather":
         return _corr_gather(src, tgt, tmx)
     if impl == "pallas":

@@ -17,9 +17,11 @@ start/wait/compute every step).
 Box size K is a static parameter. K=16 covers rotations of several
 degrees at 128-scale; K=8 quarters the MXU work and covers near-identity
 matrices (the 12-DOF polish stage, fine pyramid levels). The default
-path CASCADES: run the K=8 kernel, and only if its footprint check fails
-run K=16, then fall back to the exact gather implementation
-(ops.affine.corr3d_partials). Override with MIL_PALLAS_K=8|16|cascade.
+path CASCADES over K = 8/16/32 (and 64 when VMEM allows), STARTING at
+the tier a conservative analytic footprint bound selects from the
+matrix, escalating on the kernel's exact fit check, and falling back to
+the exact gather implementation (ops.affine.corr3d_partials) last.
+Override with MIL_PALLAS_K=<K>|cascade.
 
 Correctness contract matches the gather path: clamped texel footprint,
 strict-lower-bound zero mask. Rows whose footprint exceeds the per-row
@@ -246,10 +248,11 @@ def _corr_pallas_raw(src, tgt2d, m16, k, rows, sz, sy, sx, sxp,
 @partial(jax.jit, static_argnames=("interpret", "k_mode", "rows"))
 def corr3d_partials_pallas(src, tgt, tmx, interpret=False, k_mode=None,
                            rows=None):
-    """Fused resample + NCC partials as a Pallas kernel. ``k_mode``:
-    8 | 16 | "cascade" (default, or MIL_PALLAS_K): cascade runs the K=8
-    kernel first and escalates to K=16 only when the footprint check
-    fails; the exact gather path is the final fallback either way."""
+    """Fused resample + NCC partials as a Pallas kernel. ``k_mode``: an
+    int K | "cascade" (default, or MIL_PALLAS_K): cascade starts at the
+    tier an analytic footprint bound selects, escalates through
+    K = 8/16/32/64 on the kernel's exact fit check, and falls back to
+    the exact gather path last."""
     if k_mode is None:
         env = os.environ.get("MIL_PALLAS_K", "cascade")
         k_mode = env if env == "cascade" else int(env)
@@ -306,13 +309,17 @@ def corr3d_partials_pallas(src, tgt, tmx, interpret=False, k_mode=None,
         k64_bytes = 2 * 4 * min(64, sz) * min(64 + rows, sy) * sxp
         have64 = k64_bytes <= 12 * 1024 * 1024
 
+        # The block box grants a +1-row-per-row y allowance (ky_n = K +
+        # rows), so the EXCESS drift per row is |m11 - 1| — for m11 near
+        # -1 (mirror-like probes) the drift is ~2 rows/row, which
+        # max(|m11|-1, 0) would miss and burn three doomed tiers on.
         span_x = jnp.float32(sx - 1)
         y_need = (jnp.abs(tmx[4]) * span_x
-                  + jnp.maximum(jnp.abs(tmx[5]) - 1.0, 0.0) * (rows - 1)
+                  + jnp.abs(tmx[5] - 1.0) * (rows - 1)
                   + 3.0)
         z_need = (jnp.abs(tmx[8]) * span_x
                   + jnp.abs(tmx[9]) * (rows - 1)
-                  + jnp.maximum(jnp.abs(tmx[10]) - 1.0, 0.0) + 3.0)
+                  + jnp.abs(tmx[10] - 1.0) + 3.0)
         need = jnp.maximum(y_need, z_need)
 
         def tier64(_):
