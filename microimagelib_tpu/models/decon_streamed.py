@@ -53,6 +53,23 @@ def np_pad_stack_edge(img, out_shape):
     return np.pad(img, tuple(zip(lo, hi)), mode="edge")
 
 
+def np_align_size_3d(img, out_shape):
+    """Host twin of ops.basics.align_size_3d (centered zero-pad/crop) —
+    the single copy of the centering span math for host-resident tiers."""
+    img = np.asarray(img, np.float32)
+    out = np.zeros(out_shape, np.float32)
+    spans_o, spans_i = [], []
+    for i_sz, o_sz in zip(img.shape, out_shape):
+        so = (o_sz - i_sz) // 2
+        o_lo = max(so, 0)
+        i_lo = o_lo - so
+        n = min(i_sz - i_lo, o_sz - o_lo)
+        spans_o.append(slice(o_lo, o_lo + n))
+        spans_i.append(slice(i_lo, i_lo + n))
+    out[tuple(spans_o)] = img[tuple(spans_i)]
+    return out
+
+
 def np_crop_center(img, out_shape):
     """Host twin of ops.basics.crop_center."""
     iz, iy, ix = img.shape
@@ -70,18 +87,7 @@ def np_gen_otf(psf, fft_shape, normalize=True):
     if normalize:
         psf = psf / psf.sum()
     if any(p > f for p, f in zip(psf.shape, fft_shape)):
-        # centered zero-pad/crop (alignsize semantics)
-        out = np.zeros(fft_shape, np.float32)
-        spans_o, spans_i = [], []
-        for i_sz, o_sz in zip(psf.shape, fft_shape):
-            so = (o_sz - i_sz) // 2
-            o_lo = max(so, 0)
-            i_lo = o_lo - so
-            n = min(i_sz - i_lo, o_sz - o_lo)
-            spans_o.append(slice(o_lo, o_lo + n))
-            spans_i.append(slice(i_lo, i_lo + n))
-        out[tuple(spans_o)] = psf[tuple(spans_i)]
-        psf = out
+        psf = np_align_size_3d(psf, fft_shape)
     pz, py, px = psf.shape
     tmp = np.zeros(fft_shape, np.float32)
     tmp[:pz, :py, :px] = psf

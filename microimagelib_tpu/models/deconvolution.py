@@ -345,11 +345,14 @@ def decon_singleview(img, psf, n_iters=20, const_initial=False, psf_bp=None,
 
     if mode == 0:
         device = jax.devices("cpu")[0]
-    img = jnp.asarray(img_np)
-    psf = jnp.asarray(psf_np)
     if device is not None:
-        img = jax.device_put(img, device)
-        psf = jax.device_put(psf, device)
+        # device_put the host arrays directly (jnp.asarray would stage a
+        # transient full-volume copy on the default backend first)
+        img = jax.device_put(img_np, device)
+        psf = jax.device_put(psf_np, device)
+    else:
+        img = jnp.asarray(img_np)
+        psf = jnp.asarray(psf_np)
     t1 = time.time()
 
     otf = gen_otf(psf, fft_shape, normalize=True)
@@ -450,12 +453,15 @@ def decon_dualview(img_a, img_b, psf_a, psf_b, n_iters=10, const_initial=False,
 
     if mode == 0:
         device = jax.devices("cpu")[0]
-    img_a = jnp.asarray(img_a_np)
-    img_b = jnp.asarray(img_b_np)
-    psf_a = jnp.asarray(psf_a_np)
-    psf_b = jnp.asarray(psf_b_np)
     if device is not None:
-        img_a, img_b, psf_a, psf_b = (jax.device_put(v, device) for v in (img_a, img_b, psf_a, psf_b))
+        img_a, img_b, psf_a, psf_b = (
+            jax.device_put(v, device)
+            for v in (img_a_np, img_b_np, psf_a_np, psf_b_np))
+    else:
+        img_a = jnp.asarray(img_a_np)
+        img_b = jnp.asarray(img_b_np)
+        psf_a = jnp.asarray(psf_a_np)
+        psf_b = jnp.asarray(psf_b_np)
     t1 = time.time()
 
     otf_a = gen_otf(psf_a, fft_shape, normalize=True)

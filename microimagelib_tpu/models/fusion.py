@@ -127,14 +127,14 @@ def fusion_dualview(img_a, img_b, psf_a, psf_b,
 
     reg_b, out_tmx, reg_records = reg3d(
         a_iso, b_iso, reg_choice, aff_method, flag_tmx, tmx,
-        ftol, it_limit, device=device, verbose=verbose)
+        ftol, it_limit, device=device, mem_mode=mem_mode, verbose=verbose)
     sz, sy, sx = a_iso.shape
     if reg_choice in (2, 3, 4) and not checkmatrix(out_tmx, sx, sy, sz):
         if verbose:
             print("\t... registration result rejected by checkmatrix, retrying plain affine")
         reg_b, out_tmx, reg_records = reg3d(
             a_iso, b_iso, 2, aff_method, flag_tmx, tmx,
-            ftol, it_limit, device=device, verbose=verbose)
+            ftol, it_limit, device=device, mem_mode=mem_mode, verbose=verbose)
     records[0:11] = np.asarray(reg_records[:11], dtype=np.float64)
 
     if save_reg_callback is not None:

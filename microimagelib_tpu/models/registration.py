@@ -642,20 +642,11 @@ def reg2d_affine(img1, img2, tmx_init=None, aff_method=1, ftol=1e-4, it_limit=30
 # --------------------------------------------------------------------------
 
 def _np_align_size_3d(img, out_shape):
-    """Host twin of ops.basics.align_size_3d (centered zero-pad/crop) for
-    the beyond-HBM tier, where volumes never visit the device whole."""
-    img = np.asarray(img, np.float32)
-    out = np.zeros(out_shape, np.float32)
-    spans_o, spans_i = [], []
-    for i_sz, o_sz in zip(img.shape, out_shape):
-        so = (o_sz - i_sz) // 2
-        o_lo = max(so, 0)
-        i_lo = o_lo - so
-        n = min(i_sz - i_lo, o_sz - o_lo)
-        spans_o.append(slice(o_lo, o_lo + n))
-        spans_i.append(slice(i_lo, i_lo + n))
-    out[tuple(spans_o)] = img[tuple(spans_i)]
-    return out
+    """Host twin of ops.basics.align_size_3d for the beyond-HBM tier
+    (delegates to the single copy of the centering span math)."""
+    from microimagelib_tpu.models.decon_streamed import np_align_size_3d
+
+    return np_align_size_3d(img, out_shape)
 
 
 def _final_transform(img2, aff_coef, out_shape, mem_mode):
@@ -862,19 +853,41 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
     if records is None:
         records = np.zeros(11, dtype=np.float64)
     mem_mode = _resolve_reg_mem_mode(np.shape(img1), mem_mode, device)
-    if (mem_mode == 2 and aff_method != 0
+    if (mem_mode == 2
             and not _reg_mode1_fits(np.shape(img1), device)):
+        if aff_method == 0:
+            # apply-only on a beyond-HBM volume: streamed transform (or
+            # pass-through), never a full-volume device upload
+            out_shape = tuple(np.shape(img1))
+            if flag_tmx and tmx is not None:
+                reg = _final_transform(np.asarray(img2, np.float32),
+                                       np.asarray(tmx, np.float32),
+                                       out_shape, 2)
+                out_tmx = np.asarray(tmx, np.float32).copy()
+            else:
+                reg = np.asarray(img2, np.float32)
+                out_tmx = identity_tmx()
+            records[7] = time.time() - t_start
+            if verbose:
+                print("\t... no registration performed!")
+            return reg, out_tmx, records
         return _reg3d_affine_lowmem(img1, img2, aff_method, flag_tmx, tmx,
                                     ftol, it_limit, verbose, records,
                                     device, engine)
-    if mem_mode == 0 and device is None:
+    if mem_mode == 0:
         # CPU processing tier, matching the decon entries' mode-0 routing
+        # (overrides any passed accelerator device — the CLIs always pass
+        # one, and '-gm 0' must actually run on the CPU)
         device = jax.devices("cpu")[0]
-    img1 = jnp.asarray(img1, jnp.float32)
-    img2 = jnp.asarray(img2, jnp.float32)
     if device is not None:
-        img1 = jax.device_put(img1, device)
-        img2 = jax.device_put(img2, device)
+        # device_put the HOST arrays directly: jnp.asarray would first
+        # materialize them on the DEFAULT backend (a transient full-volume
+        # TPU allocation when mode 0 asked for the CPU)
+        img1 = jax.device_put(np.asarray(img1, np.float32), device)
+        img2 = jax.device_put(np.asarray(img2, np.float32), device)
+    else:
+        img1 = jnp.asarray(img1, jnp.float32)
+        img2 = jnp.asarray(img2, jnp.float32)
     sz, sy, sx = img1.shape
     total = sx * sy * sz
 
@@ -1322,7 +1335,7 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
     mem_mode_requested = mem_mode
     mem_mode = _resolve_reg_mem_mode(np.shape(img1), mem_mode, device)
     beyond_hbm = mem_mode == 2 and not _reg_mode1_fits(np.shape(img1), device)
-    if mem_mode == 0 and device is None:
+    if mem_mode == 0:
         device = jax.devices("cpu")[0]
     if beyond_hbm:
         # beyond-HBM: volumes stay host-resident end to end; the lowmem
@@ -1333,11 +1346,14 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
             img2 = _np_align_size_3d(img2, img1.shape)
         pyramid = False
     else:
-        img1 = jnp.asarray(img1, jnp.float32)
-        img2 = jnp.asarray(img2, jnp.float32)
         if device is not None:
-            img1 = jax.device_put(img1, device)
-            img2 = jax.device_put(img2, device)
+            # direct device_put of the host arrays (jnp.asarray would
+            # stage through the default backend first)
+            img1 = jax.device_put(np.asarray(img1, np.float32), device)
+            img2 = jax.device_put(np.asarray(img2, np.float32), device)
+        else:
+            img1 = jnp.asarray(img1, jnp.float32)
+            img2 = jnp.asarray(img2, jnp.float32)
         if img1.shape != img2.shape:
             img2 = align_size_3d(img2, img1.shape)
     sz, sy, sx = img1.shape
@@ -1383,7 +1399,7 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
         else:
             reg, out_tmx, records = reg3d_affine(
                 img1, img2, 0, flag_tmx, tmx, ftol, it_limit, verbose,
-                records, device)
+                records, device, engine, mem_mode)
     elif reg_choice == 1:
         shifts = run_phasor(img1, img2)
         out_tmx = identity_tmx()

@@ -162,7 +162,7 @@ def corr3d_partials(src, target, tmx):
 
 
 def corr3d_partials_window(src_win, target_block, tmx, z0_out, win_start,
-                           sz_global):
+                           sz_global, n_valid=None):
     """NCC partials for a z-BLOCK of output rows sampling a z-WINDOW of the
     source — the building block of sharded registration (each device holds
     its target shard plus a bounded source window instead of the full
@@ -177,7 +177,10 @@ def corr3d_partials_window(src_win, target_block, tmx, z0_out, win_start,
     window covers the footprint of every valid sample (out-of-window
     fetches only ever happen for masked-out samples).
 
-    z0_out/win_start may be traced (one compiled program per shape)."""
+    z0_out/win_start may be traced (one compiled program per shape).
+    ``n_valid`` (traced, optional) masks out the padded tail rows of a
+    zero-padded block — they would otherwise contribute spurious s^2
+    from real source samples against a zero target."""
     _wz, sy, sx = src_win.shape
     bz = target_block.shape[0]
     tmx = jnp.asarray(tmx, dtype=jnp.float32)
@@ -190,6 +193,9 @@ def corr3d_partials_window(src_win, target_block, tmx, z0_out, win_start,
     cy = m[1, 0] * xs + m[1, 1] * ys + m[1, 2] * zs + m[1, 3]
     cz = m[2, 0] * xs + m[2, 1] * ys + m[2, 2] * zs + m[2, 3]
     s = _trilerp_window(src_win, cx, cy, cz, True, win_start, sz_global)
+    if n_valid is not None:
+        row_ok = jnp.arange(bz)[:, None, None] < n_valid
+        s = jnp.where(row_ok, s, 0.0)
     return sum_blocked(s * s), sum_blocked(s * target_block)
 
 
@@ -220,13 +226,34 @@ def affine_transform_3d_window(src_win, tmx, block_shape, z0_out, win_start,
     return _trilerp_window(src_win, cx, cy, cz, False, win_start, sz_global)
 
 
-def _stream_blocks(tmx, sz, oz, oy_n, ox_n, sy, sx, budget_bytes, n_blocks):
+def _zspan_for_rows(m, zlo, zhi, oy_n, ox_n, sz):
+    """Source z-window [lo, hi) that output rows [zlo, zhi] can sample —
+    corners of the affine map (extrema of an affine function are at
+    corners). Single source of truth shared by the streamed drivers and
+    the sharded-halo bound."""
+    import numpy as np
+
+    czs = [m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + m[2, 3]
+           for x in (0.0, ox_n - 1.0) for y in (0.0, oy_n - 1.0)
+           for z in (float(zlo), float(zhi))]
+    lo = int(np.clip(np.floor(min(czs)), 0, sz - 1))
+    hi = int(np.clip(np.floor(max(czs)) + 2, 1, sz))
+    return lo, hi
+
+
+def _stream_blocks(tmx, sz, oz, oy_n, ox_n, sy, sx, budget_bytes, n_blocks,
+                   overlap_tail):
     """Shared plan for the streamed (beyond-HBM) z-block drivers: pick a
-    block count that divides the output z extent within the device
-    budget, then bound each block's source z-window from the affine
-    corners (the map is affine, so extrema are at corners). Returns
-    (bz, bounds, width) with a FIXED window width (16-multiple) so one
-    compiled program serves every block."""
+    ceil-sized block extent within the device budget (ANY output extent —
+    a divisibility requirement would collapse odd extents to one full-
+    volume block), then bound each block's source z-window from the
+    affine corners. Returns (bz, blocks, width) with a FIXED window
+    width (16-multiple) and fixed block extent ``bz`` so ONE compiled
+    program serves every block; ``blocks`` is a list of
+    (z0, n_valid_rows, win_lo). With ``overlap_tail`` a short tail is
+    instead re-anchored at oz - bz (recomputing overlapping rows —
+    deterministic for pure transforms); without it the tail block keeps
+    n_valid < bz for callers that SUM over blocks and must mask."""
     import numpy as np
 
     if n_blocks is None:
@@ -237,23 +264,19 @@ def _stream_blocks(tmx, sz, oz, oy_n, ox_n, sy, sx, budget_bytes, n_blocks):
                 n_blocks *= 2
         else:
             n_blocks = 1
-    n_blocks = min(n_blocks, oz)
-    while oz % n_blocks:
-        n_blocks //= 2
-    bz = oz // n_blocks
+    n_blocks = max(1, min(n_blocks, oz))
+    bz = -(-oz // n_blocks)
     m = np.asarray(tmx, np.float64).reshape(3, 4)
-    bounds = []
-    for i in range(n_blocks):
-        zlo, zhi = i * bz, (i + 1) * bz - 1
-        czs = [m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + m[2, 3]
-               for x in (0.0, ox_n - 1.0) for y in (0.0, oy_n - 1.0)
-               for z in (float(zlo), float(zhi))]
-        lo = int(np.clip(np.floor(min(czs)), 0, sz - 1))
-        hi = int(np.clip(np.floor(max(czs)) + 2, 1, sz))
-        bounds.append((lo, hi))
-    width = max(hi - lo for lo, hi in bounds)
+    blocks = []
+    for z0 in range(0, oz, bz):
+        n = min(bz, oz - z0)
+        if n < bz and overlap_tail:
+            z0, n = oz - bz, bz
+        lo, hi = _zspan_for_rows(m, z0, z0 + n - 1, oy_n, ox_n, sz)
+        blocks.append((z0, n, lo, hi))
+    width = max(hi - lo for _z0, _n, lo, hi in blocks)
     width = min(-(-width // 16) * 16, sz)
-    return bz, bounds, width
+    return bz, blocks, width
 
 
 def affine_transform_3d_streamed(src_host, tmx, out_shape, budget_bytes=None,
@@ -267,16 +290,17 @@ def affine_transform_3d_streamed(src_host, tmx, out_shape, budget_bytes=None,
     src_host = np.asarray(src_host, np.float32)
     sz, sy, sx = src_host.shape
     oz, oy_n, ox_n = out_shape
-    bz, bounds, width = _stream_blocks(tmx, sz, oz, oy_n, ox_n, sy, sx,
-                                       budget_bytes, n_blocks)
+    bz, blocks, width = _stream_blocks(tmx, sz, oz, oy_n, ox_n, sy, sx,
+                                       budget_bytes, n_blocks,
+                                       overlap_tail=True)
     out = np.empty(out_shape, np.float32)
-    for i, (lo, hi) in enumerate(bounds):
+    for z0, n, lo, _hi in blocks:
         start = min(lo, sz - width)
         win = jnp.asarray(src_host[start:start + width])
         blk = affine_transform_3d_window(
             win, jnp.asarray(tmx, jnp.float32), (bz, oy_n, ox_n),
-            jnp.int32(i * bz), jnp.int32(start), sz)
-        out[i * bz:(i + 1) * bz] = np.asarray(blk)
+            jnp.int32(z0), jnp.int32(start), sz)
+        out[z0:z0 + n] = np.asarray(blk)[:n]
     return out
 
 
@@ -308,17 +332,23 @@ def corr3d_partials_streamed(src_host, tgt_host, tmx, budget_bytes=None,
     tgt_host = np.asarray(tgt_host, np.float32)
     sz, sy, sx = src_host.shape
     oz = tgt_host.shape[0]
-    bz, bounds, width = _stream_blocks(tmx, sz, oz, sy, sx, sy, sx,
-                                       budget_bytes, n_blocks)
+    bz, blocks, width = _stream_blocks(tmx, sz, oz, sy, sx, sy, sx,
+                                       budget_bytes, n_blocks,
+                                       overlap_tail=False)
     tmx32 = np.asarray(tmx, np.float32)
     ss = st = 0.0
-    for i, (lo, hi) in enumerate(bounds):
+    for z0, n, lo, _hi in blocks:
         start = min(lo, sz - width)
         win = jnp.asarray(src_host[start:start + width])
-        blk = jnp.asarray(tgt_host[i * bz:(i + 1) * bz])
-        ss_b, st_b = _corr3d_window_jit(win, blk, tmx32,
-                                        jnp.int32(i * bz), jnp.int32(start),
-                                        sz_global=sz)
+        blk = tgt_host[z0:z0 + n]
+        if n < bz:  # zero-pad the tail block; n_valid masks its rows
+            pad = np.zeros((bz, sy, sx), np.float32)
+            pad[:n] = blk
+            blk = pad
+        ss_b, st_b = _corr3d_window_jit(win, jnp.asarray(blk), tmx32,
+                                        jnp.int32(z0), jnp.int32(start),
+                                        sz_global=sz,
+                                        n_valid=jnp.int32(n))
         ss += float(ss_b)
         st += float(st_b)
     return ss, st
@@ -339,11 +369,8 @@ def zslab_footprint_hops(tmx, shape_zyx, n_shards):
     hops = 0
     for i in range(n_shards):
         zlo, zhi = i * dz, (i + 1) * dz - 1
-        czs = [m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + m[2, 3]
-               for x in (0.0, sx - 1.0) for y in (0.0, sy - 1.0)
-               for z in (float(zlo), float(zhi))]
-        lo = int(np.clip(np.floor(min(czs)), 0, sz - 1))
-        hi = int(np.clip(np.floor(max(czs)) + 1, 0, sz - 1))
+        lo, hi_ex = _zspan_for_rows(m, zlo, zhi, sy, sx, sz)
+        hi = hi_ex - 1
         need_lo_hops = -(-(i * dz - lo) // dz) if lo < i * dz else 0
         need_hi_hops = -(-(hi - ((i + 1) * dz - 1)) // dz) if hi >= (i + 1) * dz else 0
         hops = max(hops, need_lo_hops, need_hi_hops)

@@ -245,18 +245,22 @@ def _corr_pallas_raw(src, tgt2d, m16, k, rows, sz, sy, sx, sxp,
     return jnp.sum(out[0:8]), jnp.sum(out[8:16]), out[16, 0] > 0.5
 
 
-@partial(jax.jit, static_argnames=("interpret", "k_mode", "rows"))
 def corr3d_partials_pallas(src, tgt, tmx, interpret=False, k_mode=None,
                            rows=None):
     """Fused resample + NCC partials as a Pallas kernel. ``k_mode``: an
     int K | "cascade" (default, or MIL_PALLAS_K): cascade starts at the
     tier an analytic footprint bound selects, escalates through
     K = 8/16/32/64 on the kernel's exact fit check, and falls back to
-    the exact gather path last."""
+    the exact gather path last.
+
+    The env knobs resolve in THIS eager wrapper (not inside the jitted
+    impl) so toggling MIL_PALLAS_K / MIL_PALLAS_ROWS takes effect on the
+    next call instead of being frozen by the first trace. (Calls from
+    inside another jit — the device ladder — still freeze them into that
+    program, which is inherent to a single compiled ladder.)"""
     if k_mode is None:
         env = os.environ.get("MIL_PALLAS_K", "cascade")
         k_mode = env if env == "cascade" else int(env)
-    sz, sy, sx = src.shape
     if rows is None:
         env_rows = os.environ.get("MIL_PALLAS_ROWS")
         if env_rows:
@@ -264,8 +268,16 @@ def corr3d_partials_pallas(src, tgt, tmx, interpret=False, k_mode=None,
         else:
             # measured on v5e at 128^3: rows=16 2.50 ms/eval, rows=8
             # 3.09, rows=32 3.33 (VMEM window growth) -> prefer 16
-            rows = next((r for r in (16, 8) if (sz * sy) % r == 0),
+            sz0, sy0, _ = src.shape
+            rows = next((r for r in (16, 8) if (sz0 * sy0) % r == 0),
                         DEFAULT_ROWS)
+    return _corr3d_partials_pallas_impl(src, tgt, tmx, interpret, k_mode,
+                                        rows)
+
+
+@partial(jax.jit, static_argnames=("interpret", "k_mode", "rows"))
+def _corr3d_partials_pallas_impl(src, tgt, tmx, interpret, k_mode, rows):
+    sz, sy, sx = src.shape
     if (sz * sy) % rows:
         # odd row counts unsupported; XLA one-hot formulation instead
         from microimagelib_tpu.ops.affine_fast import corr3d_partials_mxu

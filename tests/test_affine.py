@@ -227,3 +227,40 @@ def test_corr3d_partials_accuracy_128():
     ss, st = corr3d_partials(src, tgt, m)
     np.testing.assert_allclose(float(ss), ss_ref, rtol=1e-4)
     np.testing.assert_allclose(float(st), st_ref, rtol=1e-4)
+
+
+def test_streamed_odd_z_extent_actually_blocks():
+    """Odd output-z extents must still split into bounded blocks (the old
+    power-of-two divisibility rule collapsed any odd extent to ONE
+    full-volume block, defeating the beyond-HBM tier), and both streamed
+    drivers must stay exact with a ceil/overlap or masked tail."""
+    from microimagelib_tpu.ops.affine import (
+        _stream_blocks,
+        affine_transform_3d,
+        affine_transform_3d_streamed,
+        corr3d_partials,
+        corr3d_partials_streamed,
+    )
+
+    rng = np.random.default_rng(17)
+    shape = (23, 16, 12)  # odd z
+    src = rng.random(shape).astype(np.float32)
+    tgt = rng.random(shape).astype(np.float32)
+    m = np.array([1, 0, 0.05, 1.5, 0, 1, 0, -2.0, 0.02, 0, 1, 0.8],
+                 np.float32)
+
+    bz, blocks, width = _stream_blocks(m, 23, 23, 16, 12, 16, 12,
+                                       budget_bytes=16 * 12 * 4 * 12,
+                                       n_blocks=None, overlap_tail=False)
+    assert len(blocks) > 1, "odd extent must still split into blocks"
+
+    ref = np.asarray(affine_transform_3d(jnp.asarray(src), m, shape))
+    out = affine_transform_3d_streamed(src, m, shape,
+                                       budget_bytes=16 * 12 * 4 * 12)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    ss0, st0 = corr3d_partials(jnp.asarray(src), jnp.asarray(tgt), m)
+    ss, st = corr3d_partials_streamed(src, tgt, m,
+                                      budget_bytes=16 * 12 * 4 * 12)
+    np.testing.assert_allclose(ss, float(ss0), rtol=1e-5)
+    np.testing.assert_allclose(st, float(st0), rtol=1e-5)
