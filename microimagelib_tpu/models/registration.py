@@ -668,6 +668,11 @@ def _final_transform(img2, aff_coef, out_shape, mem_mode):
 _LADDER_EVAL_ESTIMATE = {1: 250, 2: 450, 3: 550, 4: 700, 5: 900, 6: 1100,
                          7: 1400}
 
+# engine-auto decisions per (shape, aff_method): repeated registrations
+# of the same configuration must agree, or the later call pays cold
+# program loads for a different engine (see the probe comment below)
+_ENGINE_DECISION_CACHE = {}
+
 
 def _reg_mode1_fits(shape, device):
     """Whether the mode-1 affine ladder's working set (source + target +
@@ -972,19 +977,33 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
             # ladder runtime from a MEASURED warm cost eval and fall back
             # to the hybrid one-call-per-linmin engine above the budget.
             # MIL_DEVICE_LADDER_MAX_VOXELS restores the fixed voxel gate.
+            # The decision is CACHED per (shape, method): the eager probe
+            # carries a ~25-50 ms dispatch-overhead floor on the axon
+            # tunnel, so a borderline projection could flip between
+            # calls — and a flip leaves the chosen engine's programs
+            # cold in the later call, costing minutes of device program
+            # loads (observed: a warm-then-timed pair where the timed
+            # call flipped measured 230 s instead of 6).
             max_vox_env = os.environ.get("MIL_DEVICE_LADDER_MAX_VOXELS")
+            cache_key = (tuple(img1.shape), aff_method)
             if max_vox_env is not None:
                 engine = "device" if total <= int(max_vox_env) else "hybrid"
+            elif cache_key in _ENGINE_DECISION_CACHE:
+                engine = _ENGINE_DECISION_CACHE[cache_key]
             else:
                 t_e = time.perf_counter()
                 cost12(p_init)  # warm (initial_cost above compiled it);
                 # cost_from_matrix fetches scalars, so this is fenced
                 per_eval_s = time.perf_counter() - t_e
+                t_e = time.perf_counter()
+                cost12(p_init)  # min-of-2 reduces load/jitter bias
+                per_eval_s = min(per_eval_s, time.perf_counter() - t_e)
                 est_evals = min(int(it_limit),
                                 _LADDER_EVAL_ESTIMATE.get(aff_method, 1400))
                 budget = float(os.environ.get("MIL_DEVICE_LADDER_BUDGET_S", "90"))
                 engine = ("device" if per_eval_s * est_evals <= budget
                           else "hybrid")
+                _ENGINE_DECISION_CACHE[cache_key] = engine
                 if verbose:
                     print(f"\t... engine auto: {per_eval_s*1e3:.1f} ms/eval x "
                           f"~{est_evals} evals -> {engine}")
