@@ -227,9 +227,10 @@ def _conv_streamed(vol, spec_r, spec_i, otf_r, otf_i, out, elementwise,
     for lo in range(0, fz, cz):
         n = min(cz, fz - lo)
         sl = slice(lo, lo + n)
-        # the 'other' operand pads with ONES so the fused ratio/update
-        # elementwise stage never divides or multiplies by zero in the
-        # padded rows (they are sliced away regardless)
+        # padded rows produce inf (ratio: 1/irfft2(0)=1/0) or 0
+        # (update) — harmless ONLY because [:n] slices them away before
+        # use; 'other' pads with ones so no 0/0 NaN ever appears in
+        # debugging dumps
         res = fn(_pad_axis(spec_r[sl], 0, cz), _pad_axis(spec_i[sl], 0, cz),
                  _pad_axis(other[sl], 0, cz, fill=1.0), x_out)
         out[sl] = np.asarray(res)[:n]

@@ -104,18 +104,12 @@ def _fft_impl(shape, arr=None):
     other backends keep ``jnp.fft``. When ``arr`` is a committed jax
     array, ITS device decides — a CPU-pinned volume (mem_mode 0) on a
     TPU host must not take the MXU-motivated dense-matmul path."""
+    from microimagelib_tpu.utils.device import committed_platform
+
     impl = os.environ.get("MIL_FFT_IMPL", "auto")
     if impl in ("xla", "matmul"):
         return impl
-    platform = None
-    if arr is not None:
-        try:
-            platform = next(iter(arr.devices())).platform
-        except Exception:
-            platform = None
-    if platform is None:
-        platform = jax.default_backend()
-    if platform != "tpu":
+    if committed_platform(arr) != "tpu":
         return "xla"
     vox = shape[0] * shape[1] * shape[2]
     min_vox = int(os.environ.get("MIL_FFT_MM_MIN_VOXELS", str(2 ** 23)))
@@ -357,9 +351,10 @@ def decon_singleview(img, psf, n_iters=20, const_initial=False, psf_bp=None,
 
     otf = gen_otf(psf, fft_shape, normalize=True)
     if psf_bp is not None:
-        bp = jnp.asarray(psf_bp, dtype=jnp.float32)
         if device is not None:
-            bp = jax.device_put(bp, device)
+            bp = jax.device_put(np.asarray(psf_bp, np.float32), device)
+        else:
+            bp = jnp.asarray(psf_bp, dtype=jnp.float32)
         otf_bp = gen_otf(bp, fft_shape, normalize=True)
     else:
         otf_bp = gen_otf(flip3(psf), fft_shape, normalize=True)
@@ -468,8 +463,17 @@ def decon_dualview(img_a, img_b, psf_a, psf_b, n_iters=10, const_initial=False,
     otf_b = gen_otf(psf_b, fft_shape, normalize=True)
     unmatch = psf_bp_a is not None and psf_bp_b is not None
     if unmatch:
-        otf_bp_a = gen_otf(jnp.asarray(psf_bp_a, dtype=jnp.float32), fft_shape, normalize=True)
-        otf_bp_b = gen_otf(jnp.asarray(psf_bp_b, dtype=jnp.float32), fft_shape, normalize=True)
+        # unmatched back projectors follow the same device routing as the
+        # images — a default-backend OTF next to CPU-pinned volumes would
+        # need a cross-device c64 transfer, which axon rejects
+        if device is not None:
+            bp_a = jax.device_put(np.asarray(psf_bp_a, np.float32), device)
+            bp_b = jax.device_put(np.asarray(psf_bp_b, np.float32), device)
+        else:
+            bp_a = jnp.asarray(psf_bp_a, dtype=jnp.float32)
+            bp_b = jnp.asarray(psf_bp_b, dtype=jnp.float32)
+        otf_bp_a = gen_otf(bp_a, fft_shape, normalize=True)
+        otf_bp_b = gen_otf(bp_b, fft_shape, normalize=True)
     else:
         otf_bp_a = gen_otf(flip3(psf_a), fft_shape, normalize=True)
         otf_bp_b = gen_otf(flip3(psf_b), fft_shape, normalize=True)

@@ -967,7 +967,12 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
     t_iter0 = time.time()
 
     if engine == "auto":
-        if jax.default_backend() == "cpu":
+        from microimagelib_tpu.utils.device import committed_platform
+
+        platform = committed_platform(src_ms)
+        if platform == "cpu":
+            # CPU-committed volumes (mem_mode 0, CPU hosts) have no
+            # device watchdog: the single-program ladder is always right
             engine = "device"
         else:
             # accelerator: the single-program ladder is fastest, but very
@@ -985,7 +990,8 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
             # loads (observed: a warm-then-timed pair where the timed
             # call flipped measured 230 s instead of 6).
             max_vox_env = os.environ.get("MIL_DEVICE_LADDER_MAX_VOXELS")
-            cache_key = (tuple(img1.shape), aff_method)
+            cache_key = (tuple(img1.shape), aff_method, int(it_limit),
+                         platform)
             if max_vox_env is not None:
                 engine = "device" if total <= int(max_vox_env) else "hybrid"
             elif cache_key in _ENGINE_DECISION_CACHE:

@@ -173,12 +173,6 @@ def _make_dof_cost(cost_m, dof_num: int):
     return fn
 
 
-@partial(jax.jit, static_argnames=("ncc_impl",))
-def initial_cost_device(src_ms, tgt_ms, sd_t, p_init12, ncc_impl=None):
-    cost_m = _make_cost(src_ms, tgt_ms, sd_t, ncc_impl)
-    return cost_m(params_to_matrix_jnp(p_init12))
-
-
 # ---------------------------------------------------------------------------
 # hybrid engine: one jitted device call per LINE MINIMIZATION
 # ---------------------------------------------------------------------------

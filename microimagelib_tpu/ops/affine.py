@@ -250,7 +250,7 @@ def _stream_blocks(tmx, sz, oz, oy_n, ox_n, sy, sx, budget_bytes, n_blocks,
     affine corners. Returns (bz, blocks, width) with a FIXED window
     width (16-multiple) and fixed block extent ``bz`` so ONE compiled
     program serves every block; ``blocks`` is a list of
-    (z0, n_valid_rows, win_lo). With ``overlap_tail`` a short tail is
+    (z0, n_valid_rows, win_lo, win_hi). With ``overlap_tail`` a short tail is
     instead re-anchored at oz - bz (recomputing overlapping rows —
     deterministic for pure transforms); without it the tail block keeps
     n_valid < bz for callers that SUM over blocks and must mask."""

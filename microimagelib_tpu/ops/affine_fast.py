@@ -151,18 +151,12 @@ def resolve_ncc_impl(arr=None):
 
     import jax
 
+    from microimagelib_tpu.utils.device import committed_platform
+
     impl = os.environ.get("MIL_NCC_IMPL", "auto")
     if impl != "auto":
         return impl
-    platform = None
-    if arr is not None:
-        try:
-            platform = next(iter(arr.devices())).platform
-        except Exception:
-            platform = None
-    if platform is None:
-        platform = jax.default_backend()
-    return "pallas" if platform == "tpu" else "mxu"
+    return "pallas" if committed_platform(arr) == "tpu" else "mxu"
 
 
 def corr3d_auto(src, tgt, tmx, impl=None):

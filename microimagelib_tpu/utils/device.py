@@ -67,3 +67,19 @@ def free_memory_mb(device=None):
     except Exception:
         pass
     return -1.0
+
+
+def committed_platform(arr=None):
+    """Platform of ``arr``'s COMMITTED device, falling back to the
+    default backend — the single copy of the device-dispatch probe used
+    by the FFT, NCC, and registration-engine auto choices (a CPU-pinned
+    volume on a TPU host must not take accelerator-only paths). Tracers
+    carry no device, so callers inside jit must resolve eagerly."""
+    import jax
+
+    if arr is not None:
+        try:
+            return next(iter(arr.devices())).platform
+        except Exception:
+            pass
+    return jax.default_backend()
