@@ -158,7 +158,21 @@ def mip3d(img, r_axis, project_num=36):
                        and np.allclose(mats[:, 4], 0.0)
                        and np.allclose(mats[:, 8], 0.0))
         s, p = sz * sy, out_shape[0] * out_shape[1]
-    cap = int(os.environ.get("MIL_MIP_MATMUL_MAX_BYTES", str(3 << 30)))
+    env_cap = os.environ.get("MIL_MIP_MATMUL_MAX_BYTES")
+    if env_cap is not None:
+        cap = int(env_cap)
+    else:
+        # Budget against PROBED free HBM: besides W itself, the scatter
+        # build holds the 4-corner index/weight temporaries (~3x W's
+        # column count in flat arrays) and the volume + per-frame output
+        # are resident, so near-cap shapes with a fixed byte cap could
+        # OOM where the gather path succeeds. Require W + temporaries
+        # (~2x W) to fit in 60% of free memory, defaulting to the old
+        # 3 GiB cap when the backend exposes no memory stats (CPU).
+        from microimagelib_tpu.utils.device import free_memory_mb
+
+        free_mb = free_memory_mb()
+        cap = (3 << 30) if free_mb < 0 else int(free_mb * 1048576 * 0.6 / 2)
     if passthrough and s * p * 4 <= cap:
         frames = _rotate_and_mip_all_matmul(img, jnp.asarray(mats),
                                             out_shape, r_axis)

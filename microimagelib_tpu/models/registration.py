@@ -990,8 +990,14 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
             # loads (observed: a warm-then-timed pair where the timed
             # call flipped measured 230 s instead of 6).
             max_vox_env = os.environ.get("MIL_DEVICE_LADDER_MAX_VOXELS")
+            # the budget and NCC-impl env knobs change the decision (and
+            # the per-eval speed being probed), so they key the cache too
+            # — otherwise flipping them mid-process silently reuses a
+            # stale engine choice
             cache_key = (tuple(img1.shape), aff_method, int(it_limit),
-                         platform)
+                         platform,
+                         os.environ.get("MIL_DEVICE_LADDER_BUDGET_S", "90"),
+                         resolve_ncc_impl(src_ms))
             if max_vox_env is not None:
                 engine = "device" if total <= int(max_vox_env) else "hybrid"
             elif cache_key in _ENGINE_DECISION_CACHE:

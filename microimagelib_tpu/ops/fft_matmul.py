@@ -51,11 +51,16 @@ def mm_precision():
     — far inside the <1e-3 fidelity budget — at 1.8x the speed (56 vs
     77 ms per conv roundtrip, 16.3 vs 9.9 RL iters/s end to end)."""
     name = os.environ.get("MIL_FFT_MM_PRECISION", "high").lower()
-    return {
+    table = {
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
-    }[name]
+    }
+    if name not in table:
+        raise ValueError(
+            f"MIL_FFT_MM_PRECISION={name!r} is not valid; "
+            f"use one of {sorted(table)}")
+    return table[name]
 
 
 # --------------------------------------------------------------------------

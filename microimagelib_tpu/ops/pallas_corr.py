@@ -326,8 +326,13 @@ def _corr3d_partials_pallas_impl(src, tgt, tmx, interpret, k_mode, rows):
         # -1 (mirror-like probes) the drift is ~2 rows/row, which
         # max(|m11|-1, 0) would miss and burn three doomed tiers on.
         span_x = jnp.float32(sx - 1)
+        # y-from-z term |m12| (tmx[6]): within a block the z index steps by
+        # one at the y-row wrap, shearing the y footprint — mirror the
+        # z_need treatment of tmx[10] so z-shear-into-y matrices don't
+        # start at a doomed small tier.
         y_need = (jnp.abs(tmx[4]) * span_x
                   + jnp.abs(tmx[5] - 1.0) * (rows - 1)
+                  + jnp.abs(tmx[6])
                   + 3.0)
         z_need = (jnp.abs(tmx[8]) * span_x
                   + jnp.abs(tmx[9]) * (rows - 1)

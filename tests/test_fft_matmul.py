@@ -35,6 +35,29 @@ def test_roundtrip(shape):
     np.testing.assert_allclose(np.asarray(back), v, atol=2e-5)
 
 
+@pytest.mark.parametrize("shape", [(256, 8, 8), (8, 256, 8), (128, 128, 8)])
+def test_split_algo_matches_numpy(shape):
+    """MIL_FFT_MM_ALGO='split' (two-stage Cooley-Tukey) on z- and
+    y-splittable extents must match numpy like the dense path does."""
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal(shape).astype(np.float32)
+    re, im = rfft3_mm(jnp.asarray(v), HI, algo="split")
+    ref = np.fft.rfftn(v)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(re), ref.real, atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(im), ref.imag, atol=3e-5 * scale)
+    back = irfft3_mm(re, im, shape[2], HI, algo="split")
+    np.testing.assert_allclose(np.asarray(back), v, atol=3e-5)
+
+
+def test_mm_precision_invalid_raises(monkeypatch):
+    from microimagelib_tpu.ops.fft_matmul import mm_precision
+
+    monkeypatch.setenv("MIL_FFT_MM_PRECISION", "hi")
+    with pytest.raises(ValueError, match="MIL_FFT_MM_PRECISION"):
+        mm_precision()
+
+
 def test_irfft3_matches_numpy_on_product():
     """Spectrum products (the RL case) invert identically to irfftn."""
     shape = (12, 16, 18)
