@@ -98,22 +98,29 @@ def _conv_spec(x, otf, shape):
 
 def _fft_impl(shape, arr=None):
     """Resolve the FFT backend for the RL loops: ``MIL_FFT_IMPL`` =
-    xla | matmul | auto. Auto picks the MXU matmul-form DFT
-    (ops/fft_matmul.py) on TPU for volumes where it was measured faster
-    than XLA's FFT (BASELINE.md round-2 measurement); smaller volumes and
-    other backends keep ``jnp.fft``. When ``arr`` is a committed jax
-    array, ITS device decides — a CPU-pinned volume (mem_mode 0) on a
-    TPU host must not take the MXU-motivated dense-matmul path."""
+    xla | matmul | pallas | auto. Auto picks the fused Pallas CT
+    convolution (ops/fft_pallas.py — 3 kernel launches per conv instead
+    of ~17 XLA ops) on TPU when the shape supports it, the MXU
+    matmul-form DFT (ops/fft_matmul.py) otherwise, for volumes where
+    those were measured faster than XLA's FFT (BASELINE.md); smaller
+    volumes and other backends keep ``jnp.fft``. When ``arr`` is a
+    committed jax array, ITS device decides — a CPU-pinned volume
+    (mem_mode 0) on a TPU host must not take the MXU-motivated paths."""
+    from microimagelib_tpu.ops.fft_pallas import ct_supported
     from microimagelib_tpu.utils.device import committed_platform
 
     impl = os.environ.get("MIL_FFT_IMPL", "auto")
     if impl in ("xla", "matmul"):
         return impl
+    if impl == "pallas":
+        return "pallas" if ct_supported(shape) else "matmul"
     if committed_platform(arr) != "tpu":
         return "xla"
     vox = shape[0] * shape[1] * shape[2]
     min_vox = int(os.environ.get("MIL_FFT_MM_MIN_VOXELS", str(2 ** 23)))
-    return "matmul" if vox >= min_vox else "xla"
+    if vox < min_vox:
+        return "xla"
+    return "pallas" if ct_supported(shape) else "matmul"
 
 
 @partial(jax.jit,
@@ -126,7 +133,15 @@ def _rl_single(img, otf, otf_bp, n_iters, const_initial, fft_impl, prec):
     else:
         est0 = img
 
-    if fft_impl == "matmul":
+    if fft_impl == "pallas":
+        from microimagelib_tpu.ops.fft_pallas import conv3_ct, permute_otf_jnp
+
+        planes = [permute_otf_jnp(h, shape) for h in (otf, otf_bp)]
+
+        def conv(x, which):
+            hr, hi = planes[which]
+            return conv3_ct(x, hr, hi)
+    elif fft_impl == "matmul":
         planes = [(jnp.real(h).astype(jnp.float32),
                    jnp.imag(h).astype(jnp.float32)) for h in (otf, otf_bp)]
 
@@ -169,7 +184,16 @@ def _rl_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
     else:
         est0 = (img_a + img_b) * 0.5
 
-    if fft_impl == "matmul":
+    if fft_impl == "pallas":
+        from microimagelib_tpu.ops.fft_pallas import conv3_ct, permute_otf_jnp
+
+        planes = [permute_otf_jnp(h, shape)
+                  for h in (otf_a, otf_bp_a, otf_b, otf_bp_b)]
+
+        def conv(x, which):
+            hr, hi = planes[which]
+            return conv3_ct(x, hr, hi)
+    elif fft_impl == "matmul":
         planes = [(jnp.real(h).astype(jnp.float32),
                    jnp.imag(h).astype(jnp.float32))
                   for h in (otf_a, otf_bp_a, otf_b, otf_bp_b)]

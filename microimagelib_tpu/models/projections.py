@@ -98,17 +98,24 @@ def _rotate_and_mip_all_matmul(img, mats, out_shape, r_axis):
         b0i = jnp.clip(b0r, 0, nb - 1)
         b1i = jnp.clip(b0r + 1, 0, nb - 1)
         wv = jnp.where(valid, 1.0, 0.0)
-        cols = jnp.arange(p_total, dtype=jnp.int32)
         corners = (
             (a0i * nb + b0i, (1 - fa) * (1 - fb)),
             (a0i * nb + b1i, (1 - fa) * fb),
             (a1i * nb + b0i, fa * (1 - fb)),
             (a1i * nb + b1i, fa * fb),
         )
-        rows = jnp.concatenate([idx.reshape(-1) for idx, _ in corners])
-        cols4 = jnp.concatenate([cols] * 4)
-        ws = jnp.concatenate([(w * wv).reshape(-1) for _, w in corners])
-        w_mat = jnp.zeros((s, p_total), jnp.float32).at[rows, cols4].add(ws)
+        # W built by broadcast-iota comparison instead of scatter-add:
+        # the (s, p) zero-init + 4p-element scatter dominated the frame
+        # time (round-2 measurement: 987 ms/36 frames at the fusion iso
+        # shape); the dense one-hot accumulation is pure VPU and keeps
+        # the clamped-coincident-corner summation semantics (equal corner
+        # indices simply satisfy two comparisons and add, exactly like
+        # the scatter's duplicate adds).
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (s, p_total), 0)
+        w_mat = jnp.zeros((s, p_total), jnp.float32)
+        for idx, w in corners:
+            w_mat = w_mat + jnp.where(row_ids == idx.reshape(1, -1),
+                                      (w * wv).reshape(1, -1), 0.0)
         out = jnp.dot(src2, w_mat, precision=jax.lax.Precision.HIGHEST)
         frame = jnp.maximum(out.reshape(-1, zo, po).max(axis=1), 0)
         if r_axis == 1:

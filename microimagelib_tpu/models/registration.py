@@ -966,6 +966,9 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
 
     t_iter0 = time.time()
 
+    if engine == "auto" and os.environ.get("MIL_REG_ENGINE"):
+        engine = os.environ.get("MIL_REG_ENGINE")
+
     if engine == "auto":
         from microimagelib_tpu.utils.device import committed_platform
 
@@ -1019,6 +1022,40 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
                 if verbose:
                     print(f"\t... engine auto: {per_eval_s*1e3:.1f} ms/eval x "
                           f"~{est_evals} evals -> {engine}")
+
+    if engine == "grad" and aff_method in (1, 2, 3, 4, 5, 6, 7):
+        from microimagelib_tpu.models.registration_grad import reg_ladder_grad
+
+        aff_dev, fret_dev, stage_costs, nev = reg_ladder_grad(
+            src_ms, tgt_ms, jnp.float32(sd_t), jnp.asarray(p_init, jnp.float32),
+            aff_method, jnp.float32(ftol), jnp.int32(it_limit),
+            ncc_impl=resolve_ncc_impl(src_ms),
+            finish=os.environ.get("MIL_REG_GRAD_FINISH", "1") != "0")
+        aff_coef = np.asarray(aff_dev, np.float32)
+        fret = float(fret_dev)
+        stage = np.asarray(stage_costs)
+        if aff_method in (6, 7) and np.isfinite(stage[-2 if aff_method == 7 else 0]):
+            records[2] = -float(stage[2] if aff_method == 7 else stage[0])
+        if verbose and aff_method == 7:
+            labels = ("3 DOF", "6 DOF", "9 DOF")
+            for lbl, c in zip(labels, stage[:3]):
+                if np.isfinite(c):
+                    print(f"\t... cross correlation value after {lbl}: {-float(c):f};")
+        counter.count = int(nev)
+        if flag_tmx and tmx is not None and aff_method != 5:
+            aff_coef = compose_affine(np.asarray(tmx, np.float32), aff_coef)
+        records[3] = -fret
+        records[5] = counter.count
+        records[6] = time.time() - t_iter0
+        if verbose:
+            print(f"\t... optimized cross correlation value: {-fret:f};")
+            print(f"\t... total sub iteration number: {counter.count};")
+            print(f"\t... time cost for all iterations: {records[6]:f} s;")
+        reg = _final_transform(img2, aff_coef, img1.shape, mem_mode)
+        records[7] = time.time() - t_start
+        if verbose:
+            print(f"\t... time cost for registration: {records[7]:f} s;")
+        return np.asarray(reg), np.asarray(aff_coef, np.float32), records
 
     if engine == "hybrid" and aff_method in (1, 2, 3, 4, 5, 6, 7):
         from microimagelib_tpu.models.registration_device import (

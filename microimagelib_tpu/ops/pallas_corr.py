@@ -215,6 +215,238 @@ def _kernel(m_ref, src_hbm, tgt_ref, out_ref, box0, box1, sem0, sem1,
         compute(box1, sem1)
 
 
+def _grad_kernel(m_ref, src_hbm, tgt_ref, out_ref, box0, box1, sem0, sem1,
+                 *, k, rows, sz, sy, sx, sxp, n_steps):
+    """Fused NCC partials + analytic gradient sums (the TPU-native lever
+    the CUDA texture path never had: the resample is differentiable
+    w.r.t. the matrix). Per grid step (a block of ``rows`` output rows)
+    this accumulates, besides ss = sum s^2 and st = sum s*t:
+
+        Gs[j] = sum_v s_v * ds_v/dm_j   (= d(ss/2)/dm_j)
+        Gt[j] = sum_v t_v * ds_v/dm_j   (= d(st)/dm_j)
+
+    for the 12 matrix entries, using the exact a.e. derivative of the
+    trilinear sample: ds/dc_axis is the lerp difference along that axis
+    (one-hot difference weights), and dc_axis/dm_(a,j) = [x, y, z, 1].
+
+    out_ref is (224, 128): rows 0-7 ss, 8-15 st, cell [16,0] the fits
+    product, rows 32+8g..39+8g the 24 gradient components g (Gs 0-11,
+    Gt 12-23), all spread-accumulated like the forward kernel."""
+    step = pl.program_id(0)
+
+    r_ids = lax.broadcasted_iota(jnp.int32, (224, 128), 0)
+    c_ids = lax.broadcasted_iota(jnp.int32, (224, 128), 1)
+    srow = step % 8
+    scol = (step // 8) % 128
+
+    def _cell(row, col):
+        return (r_ids == row) & (c_ids == col)
+
+    m00 = m_ref[0, 0]
+    m01 = m_ref[0, 1]
+    m02 = m_ref[0, 2]
+    m03 = m_ref[0, 3]
+    m10 = m_ref[0, 4]
+    m11 = m_ref[0, 5]
+    m12 = m_ref[0, 6]
+    m13 = m_ref[0, 7]
+    m20 = m_ref[0, 8]
+    m21 = m_ref[0, 9]
+    m22 = m_ref[0, 10]
+    m23 = m_ref[0, 11]
+
+    xs_i = lax.broadcasted_iota(jnp.int32, (1, sxp), 1)
+    xs = xs_i.astype(jnp.float32)
+    kz = lax.broadcasted_iota(jnp.int32, (k + rows, sxp), 0)
+    ixs = lax.broadcasted_iota(jnp.int32, (sxp, sxp), 0)
+
+    kz_n = min(k, sz)
+    ky_n = min(k + rows, sy)
+    ky_row = min(k, ky_n)
+
+    def block_coords(blk):
+        row_data = []
+        z_lo_all = jnp.int32(sz)
+        z_hi_all = jnp.int32(0)
+        y_lo_all = jnp.int32(sy)
+        y_hi_all = jnp.int32(0)
+        for r in range(rows):
+            row = blk * rows + r
+            z = (row // sy).astype(jnp.float32)
+            y = (row % sy).astype(jnp.float32)
+            cx = m00 * xs + (m01 * y + m02 * z + m03)
+            cy = m10 * xs + (m11 * y + m12 * z + m13)
+            cz = m20 * xs + (m21 * y + m22 * z + m23)
+            valid = (cx > -0.5) & (cy > -0.5) & (cz > -0.5) & \
+                    (cx < sx - 0.5) & (cy < sy - 0.5) & (cz < sz - 0.5) & \
+                    (xs_i < sx)
+            x0 = jnp.floor(cx)
+            y0 = jnp.floor(cy)
+            z0 = jnp.floor(cz)
+            fx = cx - x0
+            fy = cy - y0
+            fz = cz - z0
+            x0r = x0.astype(jnp.int32)
+            y0r = y0.astype(jnp.int32)
+            z0r = z0.astype(jnp.int32)
+            x0i = jnp.clip(x0r, 0, sx - 1)
+            x1i = jnp.clip(x0r + 1, 0, sx - 1)
+            y0i = jnp.clip(y0r, 0, sy - 1)
+            y1i = jnp.clip(y0r + 1, 0, sy - 1)
+            z0i = jnp.clip(z0r, 0, sz - 1)
+            z1i = jnp.clip(z0r + 1, 0, sz - 1)
+            y_lo_row = jnp.min(jnp.where(valid, y0i, sy))
+            y_hi_row = jnp.max(jnp.where(valid, y1i, 0))
+            z_lo_all = jnp.minimum(z_lo_all, jnp.min(jnp.where(valid, z0i, sz)))
+            z_hi_all = jnp.maximum(z_hi_all, jnp.max(jnp.where(valid, z1i, 0)))
+            y_lo_all = jnp.minimum(y_lo_all, y_lo_row)
+            y_hi_all = jnp.maximum(y_hi_all, y_hi_row)
+            row_data.append((valid, x0i, x1i, y0i, y1i, z0i, z1i, fx, fy, fz,
+                             y_lo_row, y_hi_row, y, z))
+        oz = jnp.clip(z_lo_all, 0, sz - kz_n)
+        oy = jnp.clip(y_lo_all, 0, sy - ky_n)
+        fits = ((z_hi_all - oz < kz_n) & (y_hi_all - oy < ky_n)).astype(jnp.float32)
+        return row_data, oz, oy, fits
+
+    def block_origin(blk):
+        _, oz, oy, _ = block_coords(blk)
+        return oz, oy
+
+    def start_dma(blk, box, sem):
+        oz, oy = block_origin(blk)
+        pltpu.make_async_copy(
+            src_hbm.at[pl.ds(oz, kz_n), pl.ds(oy, ky_n), :],
+            box.at[:kz_n, :ky_n, :],
+            sem,
+        ).start()
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:] = jnp.where(_cell(16, 0), 1.0, 0.0)
+        start_dma(jnp.int32(0), box0, sem0)
+
+    @pl.when((step + 1 < n_steps) & (step % 2 == 0))
+    def _():
+        start_dma(step + 1, box1, sem1)
+
+    @pl.when((step + 1 < n_steps) & (step % 2 == 1))
+    def _():
+        start_dma(step + 1, box0, sem0)
+
+    row_data, oz, oy, fits_acc = block_coords(step)
+
+    def compute(box_ref, sem):
+        pltpu.make_async_copy(
+            src_hbm.at[pl.ds(oz, kz_n), pl.ds(oy, ky_n), :],
+            box_ref.at[:kz_n, :ky_n, :],
+            sem,
+        ).wait()
+        ss_acc = jnp.zeros((), jnp.float32)
+        st_acc = jnp.zeros((), jnp.float32)
+        g_acc = [jnp.zeros((), jnp.float32) for _ in range(24)]
+        fits = fits_acc
+        for r in range(rows):
+            (valid, x0i, x1i, y0i, y1i, z0i, z1i, fx, fy, fz,
+             y_lo_row, y_hi_row, yf, zf) = row_data[r]
+            oy_r = jnp.clip(y_lo_row - oy, 0, ky_n - ky_row)
+            fits = fits * (y_hi_row - (oy + oy_r) < ky_row).astype(jnp.float32)
+            box_row = box_ref[:kz_n, pl.ds(oy_r, ky_row), :]
+            z0l = z0i - oz
+            z1l = z1i - oz
+            y0l = y0i - (oy + oy_r)
+            y1l = y1i - (oy + oy_r)
+            oz0 = (kz[:kz_n] == z0l)
+            oz1 = (kz[:kz_n] == z1l)
+            oy0 = (kz[:ky_row] == y0l)
+            oy1 = (kz[:ky_row] == y1l)
+            wz = (1.0 - fz) * oz0 + fz * oz1
+            wy = (1.0 - fy) * oy0 + fy * oy1
+            dwz = oz1.astype(jnp.float32) - oz0
+            dwy = oy1.astype(jnp.float32) - oy0
+            wzy = (wz[:, None, :] * wy[None, :, :]).reshape(kz_n * ky_row, sxp)
+            dzy_y = (wz[:, None, :] * dwy[None, :, :]).reshape(kz_n * ky_row, sxp)
+            dzy_z = (dwz[:, None, :] * wy[None, :, :]).reshape(kz_n * ky_row, sxp)
+            ox0 = (ixs == x0i)
+            ox1 = (ixs == x1i)
+            wx = (1.0 - fx) * ox0 + fx * ox1
+            dwx = ox1.astype(jnp.float32) - ox0
+            wx2 = jnp.concatenate([wx, dwx], axis=1)
+            q2 = jnp.dot(box_row.reshape(kz_n * ky_row, sxp), wx2,
+                         preferred_element_type=jnp.float32)
+            q = q2[:, :sxp]
+            qd = q2[:, sxp:]
+            vmask = valid.astype(jnp.float32)
+            s_row = jnp.sum(wzy * q, axis=0, keepdims=True) * vmask
+            dsx = jnp.sum(wzy * qd, axis=0, keepdims=True) * vmask
+            dsy = jnp.sum(dzy_y * q, axis=0, keepdims=True) * vmask
+            dsz = jnp.sum(dzy_z * q, axis=0, keepdims=True) * vmask
+            t_row = tgt_ref[r, :].reshape(1, sxp)
+            ss_acc = ss_acc + jnp.sum(s_row * s_row)
+            st_acc = st_acc + jnp.sum(s_row * t_row)
+            for a, d in enumerate((dsx, dsy, dsz)):
+                us = d * s_row
+                ut = d * t_row * vmask
+                a1s = jnp.sum(us * xs)
+                a0s = jnp.sum(us)
+                a1t = jnp.sum(ut * xs)
+                a0t = jnp.sum(ut)
+                g_acc[a * 4 + 0] += a1s
+                g_acc[a * 4 + 1] += yf * a0s
+                g_acc[a * 4 + 2] += zf * a0s
+                g_acc[a * 4 + 3] += a0s
+                g_acc[12 + a * 4 + 0] += a1t
+                g_acc[12 + a * 4 + 1] += yf * a0t
+                g_acc[12 + a * 4 + 2] += zf * a0t
+                g_acc[12 + a * 4 + 3] += a0t
+        cur = out_ref[:]
+        new = (cur + jnp.where(_cell(srow, scol), ss_acc, 0.0)
+               + jnp.where(_cell(8 + srow, scol), st_acc, 0.0))
+        for g in range(24):
+            new = new + jnp.where(_cell(32 + 8 * g + srow, scol), g_acc[g], 0.0)
+        new = jnp.where(_cell(16, 0), cur * fits, new)
+        out_ref[:] = new
+
+    @pl.when(step % 2 == 0)
+    def _():
+        compute(box0, sem0)
+
+    @pl.when(step % 2 == 1)
+    def _():
+        compute(box1, sem1)
+
+
+def _corr_grad_pallas_raw(src, tgt2d, m16, k, rows, sz, sy, sx, sxp,
+                          interpret=False):
+    n_rows = sz * sy
+    n_steps = n_rows // rows
+    kz_n = min(k, sz)
+    ky_n = min(k + rows, sy)
+    kernel = partial(_grad_kernel, k=k, rows=rows, sz=sz, sy=sy, sx=sx,
+                     sxp=sxp, n_steps=n_steps)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((rows, sxp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((224, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((224, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((kz_n, ky_n, sxp), jnp.float32),
+            pltpu.VMEM((kz_n, ky_n, sxp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(m16, src, tgt2d)
+    ss = jnp.sum(out[0:8])
+    st = jnp.sum(out[8:16])
+    g = jnp.stack([jnp.sum(out[32 + 8 * i:40 + 8 * i]) for i in range(24)])
+    return ss, st, g[:12], g[12:], out[16, 0] > 0.5
+
+
 def _corr_pallas_raw(src, tgt2d, m16, k, rows, sz, sy, sx, sxp,
                      interpret=False):
     n_rows = sz * sy
@@ -243,6 +475,105 @@ def _corr_pallas_raw(src, tgt2d, m16, k, rows, sz, sy, sx, sxp,
     )(m16, src, tgt2d)
     # tree-reduce the spread partials (pairwise-accurate, vs sequential)
     return jnp.sum(out[0:8]), jnp.sum(out[8:16]), out[16, 0] > 0.5
+
+
+def corr3d_grad_pallas(src, tgt, tmx, interpret=False, k_mode=None,
+                       rows=None):
+    """Fused NCC partials + gradient sums: returns (ss, st, gs, gt) with
+    gs[j] = sum s*ds/dm_j and gt[j] = sum t*ds/dm_j. Same K-tier cascade
+    as :func:`corr3d_partials_pallas`; non-fitting matrices fall back to
+    XLA autodiff through the exact gather formulation."""
+    if k_mode is None:
+        env = os.environ.get("MIL_PALLAS_K", "cascade")
+        k_mode = env if env == "cascade" else int(env)
+    if rows is None:
+        env_rows = os.environ.get("MIL_PALLAS_ROWS")
+        if env_rows:
+            rows = int(env_rows)
+        else:
+            sz0, sy0, _ = src.shape
+            rows = next((r for r in (16, 8) if (sz0 * sy0) % r == 0),
+                        DEFAULT_ROWS)
+    return _corr3d_grad_pallas_impl(src, tgt, tmx, interpret, k_mode, rows)
+
+
+def grad_fallback_xla(src, tgt, tmx):
+    """(ss, st, gs, gt) via XLA autodiff through the exact gather path —
+    the correctness anchor for the Pallas gradient kernel and the
+    fallback for footprints beyond every K tier."""
+    def f(m):
+        ss, st = _corr_gather(src, tgt, m)
+        return jnp.stack([ss, st])
+
+    vals, vjp = jax.vjp(f, jnp.asarray(tmx, jnp.float32))
+    gs = 0.5 * vjp(jnp.array([1.0, 0.0], jnp.float32))[0]
+    gt = vjp(jnp.array([0.0, 1.0], jnp.float32))[0]
+    return vals[0], vals[1], gs, gt
+
+
+@partial(jax.jit, static_argnames=("interpret", "k_mode", "rows"))
+def _corr3d_grad_pallas_impl(src, tgt, tmx, interpret, k_mode, rows):
+    sz, sy, sx = src.shape
+    if (sz * sy) % rows:
+        return grad_fallback_xla(src, tgt, tmx)
+    sxp = -(-sx // 128) * 128
+    src_u, tgt_u = src, tgt
+    if sxp != sx:
+        src = jnp.pad(src, ((0, 0), (0, 0), (0, sxp - sx)))
+        tgt = jnp.pad(tgt, ((0, 0), (0, 0), (0, sxp - sx)))
+    tmx = jnp.asarray(tmx, jnp.float32)
+    m16 = jnp.zeros((1, 16), jnp.float32).at[0, :12].set(tmx)
+    tgt2d = tgt.reshape(sz * sy, sxp)
+
+    def run(kk):
+        return _corr_grad_pallas_raw(src, tgt2d, m16, kk, rows, sz, sy, sx,
+                                     sxp, interpret)
+
+    def gather(_):
+        return grad_fallback_xla(src_u, tgt_u, tmx)
+
+    if k_mode != "cascade":
+        ss, st, gs, gt, fit = run(int(k_mode))
+        return lax.cond(fit, lambda _: (ss, st, gs, gt), gather, None)
+
+    k64_bytes = 2 * 4 * min(64, sz) * min(64 + rows, sy) * sxp
+    have64 = k64_bytes <= 12 * 1024 * 1024
+
+    span_x = jnp.float32(sx - 1)
+    y_need = (jnp.abs(tmx[4]) * span_x
+              + jnp.abs(tmx[5] - 1.0) * (rows - 1)
+              + jnp.abs(tmx[6])
+              + 3.0)
+    z_need = (jnp.abs(tmx[8]) * span_x
+              + jnp.abs(tmx[9]) * (rows - 1)
+              + jnp.abs(tmx[10] - 1.0) + 3.0)
+    need = jnp.maximum(y_need, z_need)
+
+    def tier64(_):
+        if not have64:
+            return gather(None)
+        ss, st, gs, gt, fit = run(64)
+        return lax.cond(fit, lambda _: (ss, st, gs, gt), gather, None)
+
+    def tier32(_):
+        ss, st, gs, gt, fit = run(32)
+        return lax.cond(fit, lambda _: (ss, st, gs, gt), tier64, None)
+
+    def tier16(_):
+        ss, st, gs, gt, fit = run(16)
+        return lax.cond(fit, lambda _: (ss, st, gs, gt), tier32, None)
+
+    def tier8(_):
+        ss, st, gs, gt, fit = run(8)
+        return lax.cond(fit, lambda _: (ss, st, gs, gt), tier16, None)
+
+    return lax.cond(
+        need <= 8, tier8,
+        lambda _: lax.cond(
+            need <= 16, tier16,
+            lambda _: lax.cond(need <= 32, tier32, tier64, None),
+            None),
+        None)
 
 
 def corr3d_partials_pallas(src, tgt, tmx, interpret=False, k_mode=None,
