@@ -135,22 +135,43 @@ def bench_dual256():
     _emit("dual256x256x128_10iters_s", best, "s", 0.8)  # est. cuFFT-era 0.8 s
 
 
+def _anisotropic_views(xy=128, seed=4, n=60, pixel=(0.1625, 0.1625, 1.0)):
+    """Reference-default dual views: an isotropic ground volume sampled
+    anisotropically for view A, and its +90-degree-Y rotation sampled the
+    same way for view B — so the pipeline's own isotropization AND the
+    imgRotation=-1 rotation (reference:src/spim_fusion.cpp:92-96
+    defaults) are genuinely exercised inside the timed window and the
+    registration still starts near identity."""
+    import jax.numpy as jnp
+    from microimagelib_tpu.ops.basics import rot_by_y_axis
+
+    ratio = pixel[2] / pixel[0]
+    g = _blobs((xy, xy, xy), n=n, seed=seed, sigma=2.5) + 2.0
+    zsamp = np.round(np.arange(0, xy - 1e-6, ratio)).astype(int)
+    a = np.ascontiguousarray(g[zsamp])
+    b_full = np.asarray(rot_by_y_axis(jnp.asarray(g), 1))
+    b = np.ascontiguousarray(b_full[zsamp]) * 1.05 + 0.5
+    return a, b
+
+
 def bench_fusion1tp():
-    """Config 4: one timepoint fusion (128x128x40 views -> iso grid,
-    method-7 registration + 10 decon iterations). Warm wall-clock."""
+    """Config 4: one timepoint fusion at the REFERENCE defaults —
+    anisotropic views (pixel 0.1625/0.1625/1.0), imgRotation=-1, so the
+    +-90-degree rotation and the ~6.2x z isotropization run inside the
+    timed window (round-2 verdict weak #3). Warm wall-clock."""
     from microimagelib_tpu.models.fusion import fusion_dualview
 
-    view_shape = (40, 128, 128)  # (z, y, x)
-    a = _blobs(view_shape, n=60, seed=4, sigma=2.5) + 2.0
-    b = np.roll(a, (1, -2, 2), axis=(0, 1, 2)) * 1.05 + 0.5
+    a, b = _anisotropic_views()
     psf = _gauss_psf(r=3, sigma=1.2)
-    kwargs = dict(pixel_a=(0.1625, 0.1625, 0.5), pixel_b=(0.1625, 0.1625, 0.5),
-                  im_rotation=0, reg_choice=2, aff_method=7, n_iters=10)
-    fusion_dualview(a, b, psf, psf, **kwargs)  # warm
+    kwargs = dict(pixel_a=(0.1625, 0.1625, 1.0), pixel_b=(0.1625, 0.1625, 1.0),
+                  im_rotation=-1, reg_choice=2, aff_method=7, n_iters=10)
+    _, _, _, _ = fusion_dualview(a, b, psf, psf, **kwargs)  # warm
+    rec = np.zeros(22)
     t0 = time.perf_counter()
-    _, _, _, _ = fusion_dualview(a, b, psf, psf, **kwargs)
+    _, _, _, _ = fusion_dualview(a, b, psf, psf, records=rec, **kwargs)
     dt = time.perf_counter() - t0
     _emit("fusion_1tp_warm_s", dt, "s", None)
+    _emit("fusion_1tp_final_ncc", rec[3], "ncc", None)
 
 
 def bench_batch20tp():
@@ -166,12 +187,14 @@ def bench_batch20tp():
         in2 = os.path.join(root, "SPIMB")
         os.makedirs(in1)
         os.makedirs(in2)
-        base = _blobs((32, 128, 128), n=50, seed=5, sigma=2.5) + 2.0
+        # reference-default workload: anisotropic views + imgRotation=-1,
+        # so every timepoint pays rotation + isotropization (verdict #3)
+        base_a, base_b = _anisotropic_views(xy=96, seed=5, n=50)
         for t in range(n_t):
             writetifstack(os.path.join(in1, f"SPIMA_{t}.tif"),
-                          base * (1 + 0.01 * t), 32)
+                          base_a * (1 + 0.01 * t), 32)
             writetifstack(os.path.join(in2, f"SPIMB_{t}.tif"),
-                          np.roll(base, 1, axis=2) * (1 + 0.01 * t), 32)
+                          base_b * (1 + 0.01 * t), 32)
         psf = _gauss_psf(r=3, sigma=1.2)
         writetifstack(os.path.join(root, "psf.tif"), psf, 32)
         def mk_cfg(out_name, start, end):
@@ -179,8 +202,8 @@ def bench_batch20tp():
                 out_dir=os.path.join(root, out_name), in_dir1=in1, in_dir2=in2,
                 name1="SPIMA_", name2="SPIMB_",
                 img_start=start, img_end=end, img_interval=1, img_test=0,
-                pixel1=(1.0, 1.0, 1.0), pixel2=(1.0, 1.0, 1.0),
-                reg_mode=1, im_rotation=0, flag_initial_tmx=0, tmx_file="",
+                pixel1=(0.1625, 0.1625, 1.0), pixel2=(0.1625, 0.1625, 1.0),
+                reg_mode=1, im_rotation=-1, flag_initial_tmx=0, tmx_file="",
                 ftol=1e-4, it_limit=3000, save_reg_a=False, save_reg_b=False,
                 psf1_file=os.path.join(root, "psf.tif"),
                 psf2_file=os.path.join(root, "psf.tif"),

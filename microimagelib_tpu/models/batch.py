@@ -192,7 +192,6 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
     I/O stay per-timepoint on the host)."""
     t_whole = time.time()
     paths = _make_output_tree(cfg.out_dir, cfg)
-    log_path = os.path.join(cfg.out_dir, "ProcessingLog.txt")
 
     # --- PSFs read once ---
     psf1, _ = readtifstack(cfg.psf1_file)
@@ -215,6 +214,31 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
     aff_method = 6  # reference default for batch (src/spim_fusion_batch.cpp:561)
 
     timepoints = _timepoint_list(cfg)
+
+    # --- multi-host timepoint data parallelism (SURVEY.md §2.7.3):
+    # MIL_MULTIHOST=1 initializes jax.distributed from the standard env
+    # vars and round-robins the timepoint list across processes; outputs
+    # are keyed by timepoint index in the shared tree, so the shards are
+    # disjoint and no further coordination is needed. regMode 2 chains
+    # each timepoint's matrix from the previous one and cannot shard. ---
+    process_tag = ""
+    if os.environ.get("MIL_MULTIHOST") == "1":
+        from microimagelib_tpu.parallel.distributed import (
+            init_distributed,
+            shard_timepoints,
+        )
+
+        if cfg.reg_mode == 2:
+            raise ValueError(
+                "MIL_MULTIHOST=1 cannot shard regMode 2 (dependent "
+                "registration chains timepoints); use regMode 0, 1 or 3")
+        init_distributed()
+        import jax as _jax
+
+        timepoints = shard_timepoints(timepoints)
+        if _jax.process_index() > 0:
+            process_tag = f".p{_jax.process_index()}"
+    log_path = os.path.join(cfg.out_dir, f"ProcessingLog{process_tag}.txt")
 
     # --- log header: the full settings dump the reference writes before
     # processing (reference:src/spim_fusion_batch.cpp:455-524) ---

@@ -710,12 +710,12 @@ def _reg3d_affine_lowmem(img1, img2, aff_method, flag_tmx, tmx, ftol,
 
       1. both volumes mean-pool ON THE HOST until a level fits the mode-1
          working set, and the normal device ladder runs there;
-      2. the scaled-up matrix is optionally POLISHED at full resolution
-         with the streamed NCC cost (``corr3d_partials_streamed``: one
-         bounded source window + one target block on device per call) —
-         enabled with MIL_REG_STREAM_POLISH=1 (each evaluation streams
-         the full volume through the device, so this is slow and off by
-         default);
+      2. the scaled-up matrix is POLISHED at full resolution with the
+         streamed NCC cost (``corr3d_partials_streamed``: one bounded
+         source window + one target block on device per call) under a
+         bounded eval budget BY DEFAULT (MIL_REG_STREAM_BUDGET, 100) —
+         the reference's tier always searched full-res;
+         MIL_REG_STREAM_POLISH=1 removes the cap, =0 disables polish;
       3. the final NCC is evaluated once with the streamed cost, and the
          final transform of the original source streams through bounded
          z-windows.
@@ -779,7 +779,23 @@ def _reg3d_affine_lowmem(img1, img2, aff_method, flag_tmx, tmx, ftol,
     records[4] = (time.time() - t_e) * 1000.0
 
     t_iter0 = time.time()
-    if os.environ.get("MIL_REG_STREAM_POLISH", "0") == "1":
+    # Full-resolution refinement policy (round-2 verdict #5): the
+    # reference's reg3d_affine2 always searched at FULL resolution
+    # (reference:src/api_subfunc.cu:2995-3266), so shipping only the
+    # coarse-ladder matrix silently degrades beyond-HBM users. Default is
+    # a BOUNDED streamed polish of the requested model (cap
+    # MIL_REG_STREAM_BUDGET evals, default 100 — each eval streams the
+    # volume through the device); MIL_REG_STREAM_POLISH=1 removes the
+    # cap, =0 restores the coarse-only round-2 behavior.
+    polish_env = os.environ.get("MIL_REG_STREAM_POLISH", "budget")
+    if polish_env == "0":
+        polish_cap = 0
+    elif polish_env == "1":
+        polish_cap = int(it_limit)
+    else:
+        polish_cap = min(int(it_limit),
+                         int(os.environ.get("MIL_REG_STREAM_BUDGET", "100")))
+    if polish_cap > 0:
         # polish with the REQUESTED transform model (reference dofNum
         # semantics, reference:src/api_subfunc.cu:2893-2916): methods >= 5
         # search the 12 matrix params seeded from the coarse result;
@@ -791,7 +807,7 @@ def _reg3d_affine_lowmem(img1, img2, aff_method, flag_tmx, tmx, ftol,
 
             counter = EvalCounter(cost12)
             p0 = matrix_to_params(np.asarray(m_full, np.float64))
-            p_min, fret, _, _ = powell(p0, cost12, ftol, it_limit,
+            p_min, fret, _, _ = powell(p0, cost12, ftol, polish_cap,
                                        counter=counter)
             m_full = params_to_matrix(p_min).astype(np.float32)
         else:
@@ -811,7 +827,7 @@ def _reg3d_affine_lowmem(img1, img2, aff_method, flag_tmx, tmx, ftol,
             if dof_num >= 7:
                 sub0[6:dof_num] = 1.0
             p_min, fret, _, _ = powell(sub0, cost_dof_stream, ftol,
-                                       it_limit, counter=counter)
+                                       polish_cap, counter=counter)
             full = np.zeros(9, np.float64)
             full[6:9] = 1.0
             full[:dof_num] = p_min

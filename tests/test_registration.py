@@ -284,6 +284,33 @@ def test_reg3d_affine_beyond_hbm(monkeypatch):
     assert rec[3] > 0.9  # streamed full-res NCC of the found matrix
 
 
+def test_reg3d_affine_beyond_hbm_default_polish(monkeypatch):
+    """The DEFAULT beyond-HBM path now runs a bounded full-resolution
+    polish (round-2 verdict #5): its final NCC must beat the coarse
+    matrix's and approach the mode-1 in-HBM result on the same pair."""
+    vol = smooth_blobs((32, 32, 32), n=14, seed=29)
+    true_m = identity_tmx()
+    true_m[3], true_m[7], true_m[11] = 1.3, -0.7, 0.9
+    moved = np.asarray(affine_transform_3d(jnp.asarray(vol), true_m, vol.shape))
+    _, _, rec_full = reg3d(vol, moved, reg_choice=2, aff_method=1,
+                           it_limit=2000, mem_mode=1)
+    monkeypatch.setenv("MIL_HBM_BUDGET_MB", "0.3")
+    monkeypatch.setenv("MIL_REG_STREAM_POLISH", "0")
+    _, _, rec0 = reg3d(vol, moved, reg_choice=2, aff_method=1,
+                       it_limit=2000)
+    monkeypatch.delenv("MIL_REG_STREAM_POLISH", raising=False)
+    _, tmx, rec = reg3d(vol, moved, reg_choice=2, aff_method=1,
+                        it_limit=2000)
+    # both [3] slots are streamed FULL-RES NCCs: the default bounded
+    # polish must improve on the raw coarse matrix and approach mode-1
+    assert rec[3] >= rec0[3] - 1e-6, (rec[3], rec0[3])
+    assert rec[3] >= rec_full[3] - 0.02, (rec[3], rec_full[3])
+    # and the polish stayed near its default eval budget (the Powell cap
+    # is checked between line minimizations, so it can overshoot by up
+    # to one linmin — same semantics as the in-HBM engines' it_limit)
+    assert rec[5] <= 180
+
+
 def test_reg3d_affine_beyond_hbm_stream_polish(monkeypatch):
     vol = smooth_blobs((32, 32, 32), n=14, seed=24)
     true_m = identity_tmx()
