@@ -155,6 +155,36 @@ def _register_with_cascade(a_iso, b_iso, reg_choice, aff_method, flag_tmx, tmx_i
     return reg_b, out_tmx, rec
 
 
+def _flush_group_single(group, otfs, cfg, emit_outputs, log_path):
+    """Single-chip grouped decon: one vmapped RL dispatch for the whole
+    buffered group (round-2 verdict #7 — amortize the per-dispatch
+    floor; the reference loops timepoints serially,
+    reference:src/spim_fusion_batch.cpp:613-627)."""
+    from microimagelib_tpu.models.deconvolution import (
+        decon_dualview_prepared_batch,
+    )
+
+    t_dec = time.time()
+    ts = [g[0] for g in group]
+    out_shape = group[0][3]
+    entries = list(group)
+    # pad the final partial group to the configured size so the vmapped
+    # program keeps ONE shape (a retrace costs minutes of device program
+    # load on the axon tunnel)
+    gs = max(1, int(os.environ.get("MIL_BATCH_GROUP", "1")))
+    while len(entries) % gs:
+        entries.append(entries[-1])
+    pads_a = jnp.stack([e[1] for e in entries])
+    pads_b = jnp.stack([e[2] for e in entries])
+    est = np.asarray(decon_dualview_prepared_batch(
+        pads_a, pads_b, otfs["otf1"], otfs["otf2"], otfs["bp1"], otfs["bp2"],
+        cfg.it_num_decon, False, out_shape))
+    for i, t in enumerate(ts):
+        emit_outputs(t, est[i])
+    _log(log_path, f"\t... Deconvolution (group of {len(ts)}) time cost: "
+                   f"{time.time() - t_dec:2.3f} s\n")
+
+
 def _flush_group(group, otfs, mesh, cfg, emit_outputs, log_path):
     """Deconvolve a buffered group of registered timepoints in one sharded
     call: timepoints across the mesh 'dp' axis, volume z-extent across
@@ -367,6 +397,9 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
 
     processed = []
     group = []
+    # single-chip decon grouping: MIL_BATCH_GROUP timepoints per vmapped
+    # dispatch (1 = per-timepoint, the reference-faithful default)
+    group_size = max(1, int(os.environ.get("MIL_BATCH_GROUP", "1")))
     for idx, t in enumerate(timepoints):
         t0 = time.time()
         if cfg.overlap_io:
@@ -468,6 +501,15 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
             if len(group) == mesh.shape["dp"]:
                 _flush_group(group, otfs, mesh, cfg, emit_outputs, log_path)
                 group.clear()
+        elif group_size > 1:
+            # single-chip grouping (MIL_BATCH_GROUP>1): buffer registered
+            # pairs and run the whole group through ONE vmapped RL program
+            # — amortizes the per-dispatch floor the reference's serial
+            # loop pays per timepoint (round-2 verdict #7)
+            group.append((t, pad_a, pad_b, (sz, sy, sx)))
+            if len(group) == group_size:
+                _flush_group_single(group, otfs, cfg, emit_outputs, log_path)
+                group.clear()
         else:
             decon = np.asarray(decon_dualview_prepared(
                 pad_a, pad_b, otfs["otf1"], otfs["otf2"], otfs["bp1"], otfs["bp2"],
@@ -480,8 +522,11 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
         if cfg.verbose:
             print(f"...Time cost for current image is {time.time() - t0:2.3f} s")
 
-    if mesh is not None and group:
-        _flush_group(group, otf_state, mesh, cfg, emit_outputs, log_path)
+    if group:
+        if mesh is not None:
+            _flush_group(group, otf_state, mesh, cfg, emit_outputs, log_path)
+        else:
+            _flush_group_single(group, otf_state, cfg, emit_outputs, log_path)
         group.clear()
 
     # drain writers

@@ -534,3 +534,37 @@ def decon_dualview_prepared(pad_a, pad_b, otf_a, otf_b, otf_bp_a, otf_bp_b,
     if tuple(out_shape) != tuple(est.shape):
         est = crop_center(est, out_shape)
     return est
+
+
+def decon_dualview_prepared_batch(pads_a, pads_b, otf_a, otf_b, otf_bp_a,
+                                  otf_bp_b, n_iters, const_initial,
+                                  out_shape):
+    """Grouped single-chip batch decon: a GROUP of prepared timepoints
+    runs through ONE vmapped RL program — one dispatch instead of one
+    per timepoint, amortizing the per-call overhead the reference's
+    serial loop pays every time (reference:src/spim_fusion_batch.cpp:
+    613-627; round-2 verdict #7). pads_*: (g, z, y, x) on the FFT grid.
+
+    The fused Pallas conv does not vmap; groups route through the
+    matmul/XLA implementations (batch volumes sit below the pallas-auto
+    threshold anyway)."""
+    impl = _fft_impl(tuple(pads_a.shape[1:]), pads_a)
+    if impl == "pallas":
+        impl = "matmul"
+    return _rl_dual_batch(pads_a, pads_b, otf_a, otf_b, otf_bp_a, otf_bp_b,
+                          n_iters, const_initial, impl, mm_precision(),
+                          tuple(out_shape))
+
+
+@partial(jax.jit, static_argnames=("n_iters", "const_initial", "fft_impl",
+                                   "prec", "out_shape"))
+def _rl_dual_batch(pads_a, pads_b, otf_a, otf_b, otf_bp_a, otf_bp_b,
+                   n_iters, const_initial, fft_impl, prec, out_shape):
+    def one(a, b):
+        est = _rl_dual(a, b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
+                       const_initial, fft_impl, prec)
+        if tuple(out_shape) != tuple(est.shape):
+            est = crop_center(est, out_shape)
+        return est
+
+    return jax.vmap(one)(pads_a, pads_b)

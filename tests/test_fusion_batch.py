@@ -290,3 +290,38 @@ def test_batch_log_full_header(tmp_path):
                    "Iteration number for joint deconvolution",
                    "is used..."):
         assert needle in log, needle
+
+
+def test_batch_group_single_chip_matches(tmp_path, monkeypatch):
+    """MIL_BATCH_GROUP>1 (one vmapped decon dispatch per group) produces
+    the same outputs as the per-timepoint path (round-2 verdict #7),
+    including a padded final partial group."""
+    def run(sub, env):
+        root = tmp_path / sub
+        root.mkdir()
+        in1, in2 = _write_batch_inputs(root, n_t=5)
+        out = root / "out"
+        cfg = BatchConfig(
+            out_dir=str(out), in_dir1=str(in1), in_dir2=str(in2),
+            name1="SPIMA_", name2="SPIMB_",
+            img_start=0, img_end=4, img_interval=1, img_test=0,
+            pixel1=(1.0, 1.0, 1.0), pixel2=(1.0, 1.0, 1.0),
+            reg_mode=1, im_rotation=0, flag_initial_tmx=0, tmx_file="",
+            ftol=1e-4, it_limit=300, save_reg_a=False, save_reg_b=False,
+            psf1_file=str(root / "psf1.tif"), psf2_file=str(root / "psf2.tif"),
+            it_num_decon=3, save_mp_z=True, save_mp_y=False, save_mp_x=False,
+            save_3d_x=False, save_3d_y=False, bit_per_sample=32,
+            query_device=False, device_num=0, verbose=False)
+        if env:
+            monkeypatch.setenv("MIL_BATCH_GROUP", env)
+        else:
+            monkeypatch.delenv("MIL_BATCH_GROUP", raising=False)
+        return out, spim_fusion_batch(cfg)
+
+    out1, done1 = run("a", None)
+    out2, done2 = run("b", "2")
+    assert done1 == done2 == [0, 1, 2, 3, 4]
+    for t in done1:
+        a, _ = readtifstack(str(out1 / "Decon" / f"Decon_{t}.tif"))
+        b, _ = readtifstack(str(out2 / "Decon" / f"Decon_{t}.tif"))
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4)
