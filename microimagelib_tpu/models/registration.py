@@ -993,6 +993,13 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
             # CPU-committed volumes (mem_mode 0, CPU hosts) have no
             # device watchdog: the single-program ladder is always right
             engine = "device"
+        elif os.environ.get("MIL_REG_GRAD", "1") != "0":
+            # accelerator default (round 3): the gradient ladder — the
+            # analytic-gradient L-BFGS stages reach the Powell finisher's
+            # basin in ~10x fewer evaluations, and the finisher
+            # guarantees at-least-Powell NCC (registration_grad.py).
+            # MIL_REG_GRAD=0 restores the round-2 measured auto choice.
+            engine = "grad"
         else:
             # accelerator: the single-program ladder is fastest, but very
             # long single executions can trip device watchdogs (observed:

@@ -122,8 +122,10 @@ def test_fft_impl_policy(monkeypatch):
     monkeypatch.delenv("MIL_FFT_IMPL", raising=False)
     assert dc._fft_impl((512, 512, 512)) == "xla"  # cpu backend here
     monkeypatch.setattr(dc.jax, "default_backend", lambda: "tpu")
-    assert dc._fft_impl((512, 512, 512)) == "matmul"
-    assert dc._fft_impl((128, 256, 256)) == "matmul"  # exactly 2^23
+    # round 3: CT-supported shapes now take the fused Pallas conv
+    assert dc._fft_impl((512, 512, 512)) == "pallas"
+    assert dc._fft_impl((128, 256, 256)) == "pallas"  # exactly 2^23
+    assert dc._fft_impl((128, 257, 256)) == "matmul"  # not CT-supported
     assert dc._fft_impl((64, 64, 64)) == "xla"
     monkeypatch.setenv("MIL_FFT_IMPL", "xla")
     assert dc._fft_impl((512, 512, 512)) == "xla"
