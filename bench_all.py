@@ -135,22 +135,40 @@ def bench_dual256():
     _emit("dual256x256x128_10iters_s", best, "s", 0.8)  # est. cuFFT-era 0.8 s
 
 
+def _axial_blur(v, sigma):
+    """Gaussian blur along axis 0 — the detection PSF's axial extent,
+    which in a real light-sheet covers the z step (keeps the coarse
+    z sampling of each view at/above Nyquist)."""
+    z = np.arange(v.shape[0]) - v.shape[0] // 2
+    k = np.exp(-z * z / (2.0 * sigma * sigma))
+    k /= k.sum()
+    kf = np.fft.rfft(np.roll(k, -v.shape[0] // 2))
+    return np.fft.irfft(np.fft.rfft(v, axis=0) * kf[:, None, None],
+                        n=v.shape[0], axis=0).astype(np.float32)
+
+
 def _anisotropic_views(xy=128, seed=4, n=60, pixel=(0.1625, 0.1625, 1.0)):
     """Reference-default dual views: an isotropic ground volume sampled
     anisotropically for view A, and its +90-degree-Y rotation sampled the
     same way for view B — so the pipeline's own isotropization AND the
     imgRotation=-1 rotation (reference:src/spim_fusion.cpp:92-96
     defaults) are genuinely exercised inside the timed window and the
-    registration still starts near identity."""
+    registration still starts near identity.
+
+    The background is ~zero (like real light-sheet data): the pipeline's
+    out-of-footprint resample planes are zero-filled, and a constant
+    background offset would hand those planes ~200x the variance of any
+    data plane and wreck the NCC objective. Each view is axially blurred
+    by half the z step before sampling (detection-PSF surrogate)."""
     import jax.numpy as jnp
     from microimagelib_tpu.ops.basics import rot_by_y_axis
 
     ratio = pixel[2] / pixel[0]
-    g = _blobs((xy, xy, xy), n=n, seed=seed, sigma=2.5) + 2.0
+    g = _blobs((xy, xy, xy), n=n, seed=seed, sigma=2.5)
     zsamp = np.round(np.arange(0, xy - 1e-6, ratio)).astype(int)
-    a = np.ascontiguousarray(g[zsamp])
+    a = np.ascontiguousarray(_axial_blur(g, ratio / 2.0)[zsamp]) + 0.1
     b_full = np.asarray(rot_by_y_axis(jnp.asarray(g), 1))
-    b = np.ascontiguousarray(b_full[zsamp]) * 1.05 + 0.5
+    b = np.ascontiguousarray(_axial_blur(b_full, ratio / 2.0)[zsamp]) * 1.05 + 0.1
     return a, b
 
 

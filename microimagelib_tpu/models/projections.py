@@ -124,6 +124,80 @@ def _rotate_and_mip_all_matmul(img, mats, out_shape, r_axis):
     return jax.lax.map(one, mats)
 
 
+@partial(jax.jit, static_argnames=("out_shape", "r_axis", "chunk", "prec"))
+def _rotate_and_mip_all_factored(img, mats, out_shape, r_axis, chunk, prec):
+    """Factored Wa(.)Wb form of the matmul MIP for fusion-class shapes,
+    where the dense one-hot W would be O(s*p) to build (round-2
+    measurement: 987 ms/36 frames at the fusion iso shape, scatter/
+    zero-init bound). The joint bilinear weight of output point
+    (z', b') factorizes per axis — w[(a,b),(z',b')] = wa[a,(z',b')] *
+    wb[b,(z',b')] — and product-of-clamped-tap-sums equals the joint
+    scatter's sum-of-products, while the per-axis validity masks multiply
+    to the joint +-0.5 validity box, so the result is EXACT vs the
+    gather/big-W paths. The two tap tables are (zo, na, po) and
+    (zo, nb, po) — ~100x smaller than W — and the z'-MIP folds across a
+    lax.scan over z' chunks, bounding the intermediate to
+    rows*na*chunk*po."""
+    sz, sy, sx = img.shape
+    zo = out_shape[0]
+    if r_axis == 2:   # rotation about Y: (z, x) resamples, y invariant
+        po = out_shape[2]
+        src3 = img.transpose(1, 0, 2)       # (r=y, a=z, b=x)
+        na, nb = sz, sx
+    else:             # rotation about X: (z, y) resamples, x invariant
+        po = out_shape[1]
+        src3 = img.transpose(2, 0, 1)       # (r=x, a=z, b=y)
+        na, nb = sz, sy
+    rows = src3.shape[0]
+    zpad = -(-zo // chunk) * chunk
+
+    zs = jnp.arange(zo, dtype=jnp.float32)[:, None]
+    bs = jnp.arange(po, dtype=jnp.float32)[None, :]
+
+    def tap_table(c, n):
+        """(zo, n, po) 2-tap interpolation weights for coordinates
+        c (zo, po), with the per-axis half of the validity mask."""
+        valid = (c >= -0.5) & (c < n - 0.5)
+        i0 = jnp.floor(c)
+        f = c - i0
+        i0r = i0.astype(jnp.int32)
+        i0c = jnp.clip(i0r, 0, n - 1)[:, None, :]
+        i1c = jnp.clip(i0r + 1, 0, n - 1)[:, None, :]
+        wv = jnp.where(valid, 1.0, 0.0)
+        w0 = ((1.0 - f) * wv)[:, None, :]
+        w1 = (f * wv)[:, None, :]
+        ids = jax.lax.broadcasted_iota(jnp.int32, (zo, n, po), 1)
+        w = (jnp.where(ids == i0c, w0, 0.0)
+             + jnp.where(ids == i1c, w1, 0.0))
+        return jnp.pad(w, ((0, zpad - zo), (0, 0), (0, 0)))
+
+    def one(m12):
+        m = m12.reshape(3, 4)
+        if r_axis == 2:
+            cb = m[0, 0] * bs + m[0, 2] * zs + m[0, 3]
+            ca = m[2, 0] * bs + m[2, 2] * zs + m[2, 3]
+        else:
+            cb = m[1, 1] * bs + m[1, 2] * zs + m[1, 3]
+            ca = m[2, 1] * bs + m[2, 2] * zs + m[2, 3]
+        wa = tap_table(ca, na).reshape(zpad // chunk, chunk, na, po)
+        wb = tap_table(cb, nb).reshape(zpad // chunk, chunk, nb, po)
+
+        def body(carry, ws):
+            wa_c, wb_c = ws
+            u = jnp.einsum("rab,cbq->racq", src3, wb_c, precision=prec)
+            out_c = jnp.einsum("racq,caq->rcq", u, wa_c, precision=prec)
+            return jnp.maximum(carry, out_c.max(axis=1)), None
+
+        frame0 = jnp.full((rows, po), -jnp.inf, jnp.float32)
+        frame, _ = jax.lax.scan(body, frame0, (wa, wb))
+        frame = jnp.maximum(frame, 0)
+        if r_axis == 1:
+            frame = frame.T
+        return frame
+
+    return jax.lax.map(one, mats)
+
+
 def mip3d(img, r_axis, project_num=36):
     """Rotating 3D MIP movie about the X (r_axis=1) or Y (r_axis=2) axis
     (``mip3dgpu``, reference:src/apifunc.cpp:576-644).
@@ -180,7 +254,38 @@ def mip3d(img, r_axis, project_num=36):
 
         free_mb = free_memory_mb()
         cap = (3 << 30) if free_mb < 0 else int(free_mb * 1048576 * 0.6 / 2)
-    if passthrough and s * p * 4 <= cap:
+    impl = os.environ.get("MIL_MIP_IMPL", "auto")
+    if impl == "auto":
+        # speed crossover (measured on v5e): big-W wins at batch-class
+        # shapes (W ~0.3 GB, 0.18 s/36 frames); the factored form wins at
+        # fusion-class shapes (W ~2.2 GB: 390 vs 457 ms) and is the only
+        # matmul option once W exceeds the memory cap
+        crossover = int(os.environ.get("MIL_MIP_FACTORED_MIN_W_BYTES",
+                                       str(1 << 29)))
+        if not passthrough:
+            impl = "gather"
+        elif s * p * 4 <= min(cap, crossover):
+            impl = "matmul"
+        else:
+            impl = "factored"
+    if impl == "factored" and passthrough:
+        # chunk sized so the rows*na*chunk*po intermediate stays under
+        # ~1/4 of the big-W cap (same budget the matmul path respects)
+        zo, po = (out_shape[0],
+                  out_shape[2] if r_axis == 2 else out_shape[1])
+        rows = sy if r_axis == 2 else sx
+        na = sz
+        per_z = rows * na * po * 4
+        chunk = max(1, min(32, int(max(cap, 1 << 28) // 4 // max(per_z, 1))))
+        # bf16x3 ('high') matmuls: ~3e-6 relative error on the 2-4-term
+        # bilinear sums — far below the reference's 8-bit-fraction CUDA
+        # texture weights — for ~2x the MXU rate at these class sizes
+        prec = {"high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST}[
+                    os.environ.get("MIL_MIP_PRECISION", "high")]
+        frames = _rotate_and_mip_all_factored(
+            img, jnp.asarray(mats), out_shape, r_axis, chunk, prec)
+    elif impl == "matmul" and passthrough:
         frames = _rotate_and_mip_all_matmul(img, jnp.asarray(mats),
                                             out_shape, r_axis)
     else:

@@ -122,10 +122,13 @@ def test_fft_impl_policy(monkeypatch):
     monkeypatch.delenv("MIL_FFT_IMPL", raising=False)
     assert dc._fft_impl((512, 512, 512)) == "xla"  # cpu backend here
     monkeypatch.setattr(dc.jax, "default_backend", lambda: "tpu")
-    # round 3: CT-supported shapes now take the fused Pallas conv
+    # round 3: large CT-supported shapes take the fused Pallas conv;
+    # below the measured ~2^25 crossover the matmul DFT is faster
     assert dc._fft_impl((512, 512, 512)) == "pallas"
-    assert dc._fft_impl((128, 256, 256)) == "pallas"  # exactly 2^23
-    assert dc._fft_impl((128, 257, 256)) == "matmul"  # not CT-supported
+    assert dc._fft_impl((128, 512, 512)) == "pallas"  # exactly 2^25
+    assert dc._fft_impl((128, 256, 256)) == "matmul"  # 2^23: mm wins
+    assert dc._fft_impl((256, 256, 256)) == "matmul"  # 2^24: mm wins
+    assert dc._fft_impl((129, 512, 512)) == "matmul"  # not CT-supported
     assert dc._fft_impl((64, 64, 64)) == "xla"
     monkeypatch.setenv("MIL_FFT_IMPL", "xla")
     assert dc._fft_impl((512, 512, 512)) == "xla"

@@ -82,6 +82,25 @@ def test_mip3d_shapes_and_first_frame(rng):
     assert frames.max() > 0
 
 
+def test_mip3d_impls_agree(rng, monkeypatch):
+    """gather / big-W matmul / factored Wa(.)Wb paths are numerically
+    identical (float32 matmul noise) on both rotation axes — the
+    factored path is the fusion-class-shape tier of the same semantics
+    (reference:src/apifunc.cpp:576-644)."""
+    vol = (blobs((18, 13, 15), n=8, seed=7)
+           + rng.normal(0, 0.05, (18, 13, 15))).astype(np.float32)
+    for r_axis in (1, 2):
+        outs = {}
+        for impl in ("gather", "matmul", "factored"):
+            monkeypatch.setenv("MIL_MIP_IMPL", impl)
+            outs[impl] = mip3d(vol, r_axis, project_num=7)
+        scale = np.abs(outs["gather"]).max()
+        np.testing.assert_allclose(outs["matmul"], outs["gather"],
+                                   atol=1e-5 * scale)
+        np.testing.assert_allclose(outs["factored"], outs["gather"],
+                                   atol=1e-5 * scale)
+
+
 def test_fusion_dualview_end_to_end():
     # two identical-pixel views, one slightly shifted
     vol = blobs((20, 20, 20), n=8, seed=2)
