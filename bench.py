@@ -4,9 +4,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Config (BASELINE.json north star): joint-decon-grade single-view RL at
-512^3 in float32 — 4 3D FFTs + elementwise per iteration. The first call
-warms up the exact program (axon device program load takes minutes; see
-.claude/skills/verify/SKILL.md); the timed run reuses it.
+512^3 in float32 — two circular convs + elementwise per iteration,
+dispatched like the library dispatches them (the separable compact-PSF
+Pallas kernel for this 9^3 Gaussian PSF; FFT paths for general PSFs).
+The first call warms up the exact program (axon device program load
+takes minutes; see .claude/skills/verify/SKILL.md); the timed run
+reuses it.
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
 baseline is the documented estimate of the CUDA reference on its own
@@ -59,13 +62,15 @@ def main():
     # scalar-gather program used to force completion: on the axon backend
     # block_until_ready can return before execution finishes, so timings
     # must be fenced by fetching a value derived from the result.
-    out = rl_decon_single(img_d, otf, otf_bp, n_iters)
+    out = rl_decon_single(img_d, otf, otf_bp, n_iters,
+                          psf=psf, psf_bp=psf[::-1, ::-1, ::-1])
     _ = float(out.ravel()[0])
 
     n_trials = 3
     t0 = time.perf_counter()
     for _i in range(n_trials):
-        out = rl_decon_single(img_d, otf, otf_bp, n_iters)
+        out = rl_decon_single(img_d, otf, otf_bp, n_iters,
+                              psf=psf, psf_bp=psf[::-1, ::-1, ::-1])
         _ = float(out.ravel()[0])
     dt = (time.perf_counter() - t0) / n_trials
 

@@ -120,7 +120,108 @@ def _fft_impl(shape, arr=None):
     min_vox = int(os.environ.get("MIL_FFT_MM_MIN_VOXELS", str(2 ** 23)))
     if vox < min_vox:
         return "xla"
-    return "pallas" if ct_supported(shape) else "matmul"
+    # the fused CT conv wins only once the volume is large enough to
+    # amortize its per-call grid setup (measured ms/conv, scalar-fenced
+    # chains: 2^23 3.3 mm / 3.9 ct; 2^24 4.8 / 6.0; 2^25 ~9.1 / 8.2;
+    # 512^3 31.2 / 24.8 — BASELINE.md)
+    ct_min = int(os.environ.get("MIL_FFT_CT_MIN_VOXELS", str(2 ** 25)))
+    return ("pallas" if vox >= ct_min and ct_supported(shape)
+            else "matmul")
+
+
+def _sep_plans(psf, psf_bp, fft_shape, arr=None):
+    """Try the separable compact-PSF conv route (ops/conv_sep.py) for the
+    RL loops: returns (fwd_plan, bp_plan) when BOTH projectors are
+    compact, low-separation-rank, and the policy allows it, else None.
+    ``MIL_CONV_SEP`` = auto (TPU + >= MIL_FFT_MM_MIN_VOXELS) | 1 (force,
+    interpret off-TPU) | 0 (off)."""
+    from microimagelib_tpu.ops.conv_sep import plan_sep
+    from microimagelib_tpu.utils.device import committed_platform
+
+    mode = os.environ.get("MIL_CONV_SEP", "auto")
+    if mode in ("0", "off"):
+        return None
+    if mode == "auto":
+        if committed_platform(arr) != "tpu":
+            return None
+        vox = fft_shape[0] * fft_shape[1] * fft_shape[2]
+        # measured v5e crossover (ms/iter sep vs fft-auto, BASELINE.md):
+        # 2^23 5.4/4.0, 256^3 6.4/7.3, 128x256x512 8.2/7.3, 2^25 13/14.8,
+        # 512^3 22/51. The dense x/y circulant matmuls scale with
+        # (nx + ny) per voxel, so elongated xy grids need more voxels to
+        # amortize — min_vox grows with (nx + ny) * 2^15.
+        floor = int(os.environ.get("MIL_CONV_SEP_MIN_VOXELS", str(2 ** 24)))
+        if vox < max(floor, (fft_shape[1] + fft_shape[2]) << 15):
+            return None
+    tol = float(os.environ.get("MIL_CONV_SEP_TOL", "1e-6"))
+    fwd = plan_sep(np.asarray(psf, np.float32), fft_shape, tol=tol)
+    if fwd is None:
+        return None
+    bp = plan_sep(np.asarray(psf_bp, np.float32), fft_shape, tol=tol)
+    if bp is None:
+        return None
+    return fwd, bp
+
+
+@partial(jax.jit, static_argnames=("n_iters", "const_initial", "fwd_meta",
+                                   "bp_meta", "interpret"))
+def _rl_single_sep(img, fwd_arrs, bp_arrs, n_iters, const_initial,
+                   fwd_meta, bp_meta, interpret):
+    """RL loop over the fused separable conv kernel: ratio and update are
+    each ONE pallas launch (mode='ratio'/'update'), ~6 volume-sized HBM
+    passes per iteration and no spectrum at all
+    (reference:src/api_subfunc.cu:3404-3416 per-iteration structure)."""
+    from microimagelib_tpu.ops.conv_sep import SepPlan, conv3_sep
+
+    fwd = SepPlan(*fwd_arrs, fwd_meta)
+    bp = SepPlan(*bp_arrs, bp_meta)
+    img = jnp.maximum(img, SMALLVALUE)
+    if const_initial:
+        est0 = jnp.full(img.shape, jnp.sum(img), dtype=img.dtype)
+    else:
+        est0 = img
+
+    def body(_, est):
+        ratio = conv3_sep(est, fwd, aux=img, mode="ratio",
+                          interpret=interpret)
+        return conv3_sep(ratio, bp, aux=est, mode="update",
+                         smallvalue=SMALLVALUE, interpret=interpret)
+
+    return jax.lax.fori_loop(0, n_iters, body, est0)
+
+
+@partial(jax.jit, static_argnames=("n_iters", "const_initial", "fwd_a_meta",
+                                   "bp_a_meta", "fwd_b_meta", "bp_b_meta",
+                                   "interpret"))
+def _rl_dual_sep(img_a, img_b, fwd_a_arrs, bp_a_arrs, fwd_b_arrs, bp_b_arrs,
+                 n_iters, const_initial, fwd_a_meta, bp_a_meta, fwd_b_meta,
+                 bp_b_meta, interpret):
+    from microimagelib_tpu.ops.conv_sep import SepPlan, conv3_sep
+
+    fwd_a = SepPlan(*fwd_a_arrs, fwd_a_meta)
+    bp_a = SepPlan(*bp_a_arrs, bp_a_meta)
+    fwd_b = SepPlan(*fwd_b_arrs, fwd_b_meta)
+    bp_b = SepPlan(*bp_b_arrs, bp_b_meta)
+    img_a = jnp.maximum(img_a, SMALLVALUE)
+    img_b = jnp.maximum(img_b, SMALLVALUE)
+    if const_initial:
+        est0 = jnp.full(img_a.shape, (jnp.sum(img_a) + jnp.sum(img_b)) / 2,
+                        dtype=img_a.dtype)
+    else:
+        est0 = (img_a + img_b) * 0.5
+
+    def half(est, img, fwd, bp):
+        ratio = conv3_sep(est, fwd, aux=img, mode="ratio",
+                          interpret=interpret)
+        return conv3_sep(ratio, bp, aux=est, mode="update",
+                         smallvalue=SMALLVALUE, interpret=interpret)
+
+    def body(_, est):
+        est = half(est, img_a, fwd_a, bp_a)
+        est = half(est, img_b, fwd_b, bp_b)
+        return est
+
+    return jax.lax.fori_loop(0, n_iters, body, est0)
 
 
 @partial(jax.jit,
@@ -163,11 +264,28 @@ def _rl_single(img, otf, otf_bp, n_iters, const_initial, fft_impl, prec):
     return jax.lax.fori_loop(0, n_iters, body, est0)
 
 
-def rl_decon_single(img, otf, otf_bp, n_iters, const_initial=False):
+def rl_decon_single(img, otf, otf_bp, n_iters, const_initial=False,
+                    psf=None, psf_bp=None):
     """Single-view RL on a pre-padded FFT-grid image. Returns the estimate
     on the same grid. (``decon_singleview_OTF1`` loop,
     reference:src/api_subfunc.cu:3404-3416.) The FFT backend is resolved
-    per call by :func:`_fft_impl`."""
+    per call by :func:`_fft_impl`; when the raw projectors are also given
+    (``psf``, optional ``psf_bp``; host arrays) and both are compact and
+    separable, the loop takes the fused spectrum-free conv instead
+    (:func:`_sep_plans`)."""
+    if psf is not None:
+        psf_np = np.asarray(psf, np.float32)
+        bp_np = (np.asarray(psf_bp, np.float32) if psf_bp is not None
+                 else psf_np[::-1, ::-1, ::-1])
+        plans = _sep_plans(psf_np, bp_np, tuple(img.shape), img)
+        if plans is not None:
+            from microimagelib_tpu.utils.device import committed_platform
+
+            fwd, bp = plans
+            interp = committed_platform(img) != "tpu"
+            return _rl_single_sep(img, tuple(fwd[:5]), tuple(bp[:5]),
+                                  n_iters, const_initial, fwd.meta, bp.meta,
+                                  interp)
     return _rl_single(img, otf, otf_bp, n_iters, const_initial,
                       _fft_impl(img.shape, img), mm_precision())
 
@@ -221,10 +339,34 @@ def _rl_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
     return jax.lax.fori_loop(0, n_iters, body, est0)
 
 
-def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters, const_initial=False):
+def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
+                  const_initial=False, psf_a=None, psf_b=None,
+                  psf_bp_a=None, psf_bp_b=None):
     """Joint dual-view RL: view A then view B per iteration
     (``decon_dualview_OTF1``, reference:src/api_subfunc.cu:3634-3660).
-    The FFT backend is resolved per call by :func:`_fft_impl`."""
+    The FFT backend is resolved per call by :func:`_fft_impl`; raw
+    projector kwargs opt into the fused separable conv when ALL FOUR
+    projectors qualify (:func:`_sep_plans`)."""
+    if psf_a is not None and psf_b is not None:
+        pa = np.asarray(psf_a, np.float32)
+        pb = np.asarray(psf_b, np.float32)
+        bpa = (np.asarray(psf_bp_a, np.float32) if psf_bp_a is not None
+               else pa[::-1, ::-1, ::-1])
+        bpb = (np.asarray(psf_bp_b, np.float32) if psf_bp_b is not None
+               else pb[::-1, ::-1, ::-1])
+        plans_a = _sep_plans(pa, bpa, tuple(img_a.shape), img_a)
+        plans_b = (_sep_plans(pb, bpb, tuple(img_a.shape), img_a)
+                   if plans_a is not None else None)
+        if plans_a is not None and plans_b is not None:
+            from microimagelib_tpu.utils.device import committed_platform
+
+            fa, ba = plans_a
+            fb, bb = plans_b
+            interp = committed_platform(img_a) != "tpu"
+            return _rl_dual_sep(img_a, img_b, tuple(fa[:5]), tuple(ba[:5]),
+                                tuple(fb[:5]), tuple(bb[:5]), n_iters,
+                                const_initial, fa.meta, ba.meta, fb.meta,
+                                bb.meta, interp)
     return _rl_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
                     const_initial, _fft_impl(img_a.shape, img_a),
                     mm_precision())
@@ -387,7 +529,10 @@ def decon_singleview(img, psf, n_iters=20, const_initial=False, psf_bp=None,
     if records is not None:
         records[2] = free_memory_mb(device)
 
-    est = rl_decon_single(padded, otf, otf_bp, n_iters, const_initial)
+    est = rl_decon_single(padded, otf, otf_bp, n_iters, const_initial,
+                          psf=psf_np,
+                          psf_bp=(np.asarray(psf_bp, np.float32)
+                                  if psf_bp is not None else None))
     if records is not None:
         records[3] = free_memory_mb(device)
     out = crop_center(est, img.shape) if fft_shape != tuple(img.shape) else est
@@ -507,7 +652,12 @@ def decon_dualview(img_a, img_b, psf_a, psf_b, n_iters=10, const_initial=False,
     if records is not None:
         records[2] = free_memory_mb(device)
 
-    est = rl_decon_dual(pad_a, pad_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters, const_initial)
+    est = rl_decon_dual(pad_a, pad_b, otf_a, otf_b, otf_bp_a, otf_bp_b,
+                        n_iters, const_initial, psf_a=psf_a_np, psf_b=psf_b_np,
+                        psf_bp_a=(np.asarray(psf_bp_a, np.float32)
+                                  if unmatch else None),
+                        psf_bp_b=(np.asarray(psf_bp_b, np.float32)
+                                  if unmatch else None))
     if records is not None:
         records[3] = free_memory_mb(device)
     out = crop_center(est, img_a.shape) if fft_shape != tuple(img_a.shape) else est

@@ -1,0 +1,179 @@
+"""Separable compact-PSF convolution (ops/conv_sep.py) vs the FFT conv.
+
+The planned kernel must match irfftn(rfftn(v) * gen_otf(psf)) — the RL
+loops' conv semantics (reference:src/api_subfunc.cu:3404-3416) — to
+matmul precision, including z wraparound, even-size (asymmetric) PSF
+centers, and higher separation ranks; and the RL decon built on it must
+match the FFT-path RL decon. On the CPU backend the kernel runs in
+pallas interpret mode."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microimagelib_tpu.models.deconvolution import (
+    gen_otf,
+    rl_decon_dual,
+    rl_decon_single,
+)
+from microimagelib_tpu.ops.conv_sep import conv3_sep, plan_sep
+
+SHAPE = (16, 16, 128)
+
+
+def gauss3(p, s):
+    z = np.arange(p[0]) - p[0] // 2
+    y = np.arange(p[1]) - p[1] // 2
+    x = np.arange(p[2]) - p[2] // 2
+    k = np.exp(-z[:, None, None] ** 2 / (2 * s[0] ** 2)
+               - y[None, :, None] ** 2 / (2 * s[1] ** 2)
+               - x[None, None, :] ** 2 / (2 * s[2] ** 2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def fft_conv(v, psf, shape):
+    otf = gen_otf(jnp.asarray(psf, jnp.float32), shape)
+    return np.asarray(jnp.fft.irfftn(jnp.fft.rfftn(jnp.asarray(v)) * otf,
+                                     s=shape))
+
+
+@pytest.mark.parametrize("psf", [
+    gauss3((9, 9, 9), (1.5, 2.0, 1.0)),                      # rank 1, odd
+    gauss3((8, 8, 8), (1.2, 1.2, 1.2)),                      # even center
+    gauss3((7, 9, 11), (1.0, 1.5, 2.0))
+    + 0.3 * gauss3((7, 9, 11), (2.0, 1.0, 0.8)),             # rank >= 2
+    gauss3((17, 5, 5), (2.5, 1.0, 1.0)),                     # z-support 8
+], ids=["odd-gauss", "even-gauss", "rank2", "long-z"])
+def test_conv_matches_fft(rng, psf):
+    v = (rng.random(SHAPE) * 100).astype(np.float32)
+    plan = plan_sep(psf, SHAPE)
+    assert plan is not None
+    ref = fft_conv(v, psf, SHAPE)
+    out = np.asarray(conv3_sep(jnp.asarray(v), plan))
+    np.testing.assert_allclose(out, ref, atol=2e-5 * np.abs(ref).max())
+
+
+def test_modes_ratio_update(rng):
+    v = (rng.random(SHAPE) * 100).astype(np.float32)
+    aux = (rng.random(SHAPE) + 0.5).astype(np.float32)
+    psf = gauss3((9, 9, 9), (1.5, 1.5, 1.5))
+    plan = plan_sep(psf, SHAPE)
+    c = fft_conv(v, psf, SHAPE)
+    r = np.asarray(conv3_sep(jnp.asarray(v), plan, aux=jnp.asarray(aux),
+                             mode="ratio"))
+    u = np.asarray(conv3_sep(jnp.asarray(v), plan, aux=jnp.asarray(aux),
+                             mode="update", smallvalue=20.0))
+    np.testing.assert_allclose(r, aux / c, atol=2e-5 * np.abs(aux / c).max())
+    np.testing.assert_allclose(u, np.maximum(aux * c, 20.0),
+                               atol=2e-5 * np.abs(aux * c).max())
+    with pytest.raises(ValueError):
+        conv3_sep(jnp.asarray(v), plan, mode="ratio")
+
+
+def test_plan_rejections(rng):
+    g9 = gauss3((9, 9, 9), (1.5, 1.5, 1.5))
+    assert plan_sep(g9, (16, 16, 100)) is None        # nx % 128 != 0
+    assert plan_sep(g9, (15, 16, 128)) is None        # nz % zb != 0
+    # z support > zb on a grid that fits it (no gen_otf-style crop)
+    assert plan_sep(gauss3((21, 5, 5), (4.0, 1.0, 1.0)), (32, 16, 128)) is None
+    noise = rng.random((9, 9, 9)).astype(np.float32)  # full rank
+    assert plan_sep(noise, SHAPE) is None
+    assert plan_sep(np.zeros((5, 5, 5), np.float32), SHAPE) is None
+    # non-separable-but-low-rank is accepted when rank <= max_rank covers it
+    assert plan_sep(g9 + 1e-3 * np.roll(g9, 1, 0), SHAPE) is not None
+
+
+def _rl_ref(img, psf, psf_bp, n_iters, dual_b=None, psf_b=None,
+            psf_bp_b=None, const_initial=False):
+    shape = img.shape
+    otf = gen_otf(jnp.asarray(psf), shape)
+    otf_bp = gen_otf(jnp.asarray(psf_bp), shape)
+    if dual_b is None:
+        return np.asarray(rl_decon_single(jnp.asarray(img), otf, otf_bp,
+                                          n_iters, const_initial))
+    otf_b = gen_otf(jnp.asarray(psf_b), shape)
+    otf_bp_b = gen_otf(jnp.asarray(psf_bp_b), shape)
+    return np.asarray(rl_decon_dual(jnp.asarray(img), jnp.asarray(dual_b),
+                                    otf, otf_b, otf_bp, otf_bp_b, n_iters,
+                                    const_initial))
+
+
+@pytest.mark.parametrize("const_initial", [False, True])
+def test_rl_single_sep_matches_fft(rng, monkeypatch, const_initial):
+    img = (rng.random(SHAPE) * 100 + 1).astype(np.float32)
+    psf = gauss3((9, 9, 9), (1.5, 1.2, 1.8))
+    ref = _rl_ref(img, psf, psf[::-1, ::-1, ::-1], 5,
+                  const_initial=const_initial)
+    monkeypatch.setenv("MIL_CONV_SEP", "1")  # force off-TPU (interpret)
+    out = np.asarray(rl_decon_single(jnp.asarray(img), None, None, 5,
+                                     const_initial, psf=psf))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4 * ref.max())
+
+
+def test_rl_single_sep_unmatched_bp(rng, monkeypatch):
+    img = (rng.random(SHAPE) * 100 + 1).astype(np.float32)
+    psf = gauss3((9, 9, 9), (1.5, 1.2, 1.8))
+    bp = gauss3((7, 7, 7), (1.0, 1.0, 1.0))
+    ref = _rl_ref(img, psf, bp, 4)
+    monkeypatch.setenv("MIL_CONV_SEP", "1")
+    out = np.asarray(rl_decon_single(jnp.asarray(img), None, None, 4,
+                                     psf=psf, psf_bp=bp))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4 * ref.max())
+
+
+def test_rl_dual_sep_matches_fft(rng, monkeypatch):
+    img_a = (rng.random(SHAPE) * 100 + 1).astype(np.float32)
+    img_b = (rng.random(SHAPE) * 100 + 1).astype(np.float32)
+    psf_a = gauss3((9, 9, 9), (1.5, 1.2, 1.8))
+    psf_b = gauss3((9, 9, 9), (1.0, 1.8, 1.2))
+    ref = _rl_ref(img_a, psf_a, psf_a[::-1, ::-1, ::-1], 3, dual_b=img_b,
+                  psf_b=psf_b, psf_bp_b=psf_b[::-1, ::-1, ::-1])
+    monkeypatch.setenv("MIL_CONV_SEP", "1")
+    out = np.asarray(rl_decon_dual(jnp.asarray(img_a), jnp.asarray(img_b),
+                                   None, None, None, None, 3,
+                                   psf_a=psf_a, psf_b=psf_b))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4 * ref.max())
+
+
+def test_sep_auto_threshold(monkeypatch):
+    """Auto engages on TPU only above the measured, shape-aware voxel
+    floor: 2^24 baseline, grown by (ny+nx)*2^15 for elongated xy grids
+    where the dense circulant matmuls cost more per voxel."""
+    import microimagelib_tpu.utils.device as dev
+    from microimagelib_tpu.models.deconvolution import _sep_plans
+
+    monkeypatch.setattr(dev, "committed_platform", lambda arr=None: "tpu")
+    psf = gauss3((9, 9, 9), (1.5, 1.5, 1.5))
+    bp = psf[::-1, ::-1, ::-1]
+    assert _sep_plans(psf, bp, (256, 256, 256)) is not None
+    assert _sep_plans(psf, bp, (128, 256, 256)) is None   # 2^23 < floor
+    assert _sep_plans(psf, bp, (128, 256, 512)) is None   # elongated 2^24
+    assert _sep_plans(psf, bp, (128, 512, 512)) is not None  # 2^25
+    monkeypatch.setenv("MIL_CONV_SEP_MIN_VOXELS", str(2 ** 30))
+    assert _sep_plans(psf, bp, (512, 512, 512)) is None
+    # env floor lowered: a z-long grid whose (ny+nx) term is already met
+    monkeypatch.setenv("MIL_CONV_SEP_MIN_VOXELS", "0")
+    assert _sep_plans(psf, bp, (512, 128, 128)) is not None
+
+
+def test_sep_policy_gates(rng, monkeypatch):
+    """Off by default on CPU (auto requires TPU); MIL_CONV_SEP=0 blocks the
+    forced route; non-qualifying PSFs fall back to the FFT loop."""
+    from microimagelib_tpu.models.deconvolution import _sep_plans
+
+    psf = gauss3((9, 9, 9), (1.5, 1.5, 1.5))
+    bp = psf[::-1, ::-1, ::-1]
+    assert _sep_plans(psf, bp, SHAPE) is None            # auto: cpu backend
+    monkeypatch.setenv("MIL_CONV_SEP", "0")
+    assert _sep_plans(psf, bp, SHAPE) is None
+    monkeypatch.setenv("MIL_CONV_SEP", "1")
+    assert _sep_plans(psf, bp, SHAPE) is not None
+    noise = rng.random((9, 9, 9)).astype(np.float32)
+    assert _sep_plans(psf, noise, SHAPE) is None         # bp disqualifies
+    # fallback still works end-to-end: psf given but grid unsupported
+    img = (rng.random((16, 16, 100)) * 10 + 1).astype(np.float32)
+    otf = gen_otf(jnp.asarray(psf), img.shape)
+    otf_bp = gen_otf(jnp.asarray(bp), img.shape)
+    a = np.asarray(rl_decon_single(jnp.asarray(img), otf, otf_bp, 2, psf=psf))
+    b = np.asarray(rl_decon_single(jnp.asarray(img), otf, otf_bp, 2))
+    np.testing.assert_allclose(a, b)
