@@ -256,11 +256,14 @@ def bench_decon512():
     psf = _gauss_psf(r=4, sigma=1.5)
     otf = gen_otf(jnp.asarray(psf), shape)
     otf_bp = gen_otf(jnp.asarray(psf[::-1, ::-1, ::-1]), shape)
-    out = rl_decon_single(img, otf, otf_bp, 10)
+    # raw projectors too, so the library dispatches like it would for a
+    # user (separable compact-PSF route for this Gaussian PSF)
+    bp = psf[::-1, ::-1, ::-1]
+    out = rl_decon_single(img, otf, otf_bp, 10, psf=psf, psf_bp=bp)
     _ = float(out.ravel()[0])
     t0 = time.perf_counter()
     for _i in range(3):
-        out = rl_decon_single(img, otf, otf_bp, 10)
+        out = rl_decon_single(img, otf, otf_bp, 10, psf=psf, psf_bp=bp)
         _ = float(out.ravel()[0])
     dt = (time.perf_counter() - t0) / 3
     _emit(f"rl_decon_iters_per_sec_{size}cubed", 10 / dt, "iterations/s", 2.0)

@@ -131,10 +131,14 @@ def _fft_impl(shape, arr=None):
 
 def _sep_plans(psf, psf_bp, fft_shape, arr=None):
     """Try the separable compact-PSF conv route (ops/conv_sep.py) for the
-    RL loops: returns (fwd_plan, bp_plan) when BOTH projectors are
-    compact, low-separation-rank, and the policy allows it, else None.
-    ``MIL_CONV_SEP`` = auto (TPU + >= MIL_FFT_MM_MIN_VOXELS) | 1 (force,
-    interpret off-TPU) | 0 (off)."""
+    RL loops when BOTH projectors are compact, low-separation-rank, and
+    the policy allows it. Returns ('fused', RLFusedPlan) — whole
+    iteration in one pallas call — or ('pair', (fwd, bp)) for the
+    two-call fallback, else None. ``MIL_CONV_SEP`` = auto (TPU above the
+    measured voxel floor) | 1 (force, interpret off-TPU) | 0 (off);
+    ``MIL_CONV_SEP_FUSED=1`` opts into the one-call-per-iteration form
+    (measured no faster than two fused conv calls on this part, but half
+    the HBM traffic — see the policy comment below)."""
     from microimagelib_tpu.ops.conv_sep import plan_sep
     from microimagelib_tpu.utils.device import committed_platform
 
@@ -154,13 +158,69 @@ def _sep_plans(psf, psf_bp, fft_shape, arr=None):
         if vox < max(floor, (fft_shape[1] + fft_shape[2]) << 15):
             return None
     tol = float(os.environ.get("MIL_CONV_SEP_TOL", "1e-6"))
-    fwd = plan_sep(np.asarray(psf, np.float32), fft_shape, tol=tol)
+    psf_np = np.asarray(psf, np.float32)
+    bp_np = np.asarray(psf_bp, np.float32)
+    # the one-call-per-iteration form measured NO faster than two fused
+    # conv calls (512^3: 25.7 vs 22.4 ms/iter at its VMEM-forced zb=4;
+    # 256^3 at zb=8: 6.06 vs 6.03 — the kernel is MXU-bound, so halving
+    # HBM traffic doesn't pay). Kept selectable; default off.
+    if os.environ.get("MIL_CONV_SEP_FUSED", "0") == "1":
+        from microimagelib_tpu.ops.conv_sep import plan_rl_fused
+
+        fused = plan_rl_fused(psf_np, bp_np, fft_shape, tol=tol)
+        if fused is not None:
+            return "fused", fused
+    fwd = plan_sep(psf_np, fft_shape, tol=tol)
     if fwd is None:
         return None
-    bp = plan_sep(np.asarray(psf_bp, np.float32), fft_shape, tol=tol)
+    bp = plan_sep(bp_np, fft_shape, tol=tol)
     if bp is None:
         return None
-    return fwd, bp
+    return "pair", (fwd, bp)
+
+
+@partial(jax.jit, static_argnames=("n_iters", "const_initial", "meta",
+                                   "interpret"))
+def _rl_single_sep_fused(img, arrs, n_iters, const_initial, meta,
+                         interpret):
+    """RL loop where each iteration is ONE pallas call (~3 volume-sized
+    HBM passes): ops/conv_sep.py::rl_iter_fused."""
+    from microimagelib_tpu.ops.conv_sep import RLFusedPlan, rl_iter_fused
+
+    plan = RLFusedPlan(*arrs, meta)
+    img = jnp.maximum(img, SMALLVALUE)
+    if const_initial:
+        est0 = jnp.full(img.shape, jnp.sum(img), dtype=img.dtype)
+    else:
+        est0 = img
+
+    def body(_, est):
+        return rl_iter_fused(est, img, plan, SMALLVALUE, interpret)
+
+    return jax.lax.fori_loop(0, n_iters, body, est0)
+
+
+@partial(jax.jit, static_argnames=("n_iters", "const_initial", "meta_a",
+                                   "meta_b", "interpret"))
+def _rl_dual_sep_fused(img_a, img_b, arrs_a, arrs_b, n_iters,
+                       const_initial, meta_a, meta_b, interpret):
+    from microimagelib_tpu.ops.conv_sep import RLFusedPlan, rl_iter_fused
+
+    plan_a = RLFusedPlan(*arrs_a, meta_a)
+    plan_b = RLFusedPlan(*arrs_b, meta_b)
+    img_a = jnp.maximum(img_a, SMALLVALUE)
+    img_b = jnp.maximum(img_b, SMALLVALUE)
+    if const_initial:
+        est0 = jnp.full(img_a.shape, (jnp.sum(img_a) + jnp.sum(img_b)) / 2,
+                        dtype=img_a.dtype)
+    else:
+        est0 = (img_a + img_b) * 0.5
+
+    def body(_, est):
+        est = rl_iter_fused(est, img_a, plan_a, SMALLVALUE, interpret)
+        return rl_iter_fused(est, img_b, plan_b, SMALLVALUE, interpret)
+
+    return jax.lax.fori_loop(0, n_iters, body, est0)
 
 
 @partial(jax.jit, static_argnames=("n_iters", "const_initial", "fwd_meta",
@@ -277,12 +337,16 @@ def rl_decon_single(img, otf, otf_bp, n_iters, const_initial=False,
         psf_np = np.asarray(psf, np.float32)
         bp_np = (np.asarray(psf_bp, np.float32) if psf_bp is not None
                  else psf_np[::-1, ::-1, ::-1])
-        plans = _sep_plans(psf_np, bp_np, tuple(img.shape), img)
-        if plans is not None:
+        route = _sep_plans(psf_np, bp_np, tuple(img.shape), img)
+        if route is not None:
             from microimagelib_tpu.utils.device import committed_platform
 
-            fwd, bp = plans
+            kind, p = route
             interp = committed_platform(img) != "tpu"
+            if kind == "fused":
+                return _rl_single_sep_fused(img, tuple(p[:10]), n_iters,
+                                            const_initial, p.meta, interp)
+            fwd, bp = p
             return _rl_single_sep(img, tuple(fwd[:5]), tuple(bp[:5]),
                                   n_iters, const_initial, fwd.meta, bp.meta,
                                   interp)
@@ -354,19 +418,40 @@ def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
                else pa[::-1, ::-1, ::-1])
         bpb = (np.asarray(psf_bp_b, np.float32) if psf_bp_b is not None
                else pb[::-1, ::-1, ::-1])
-        plans_a = _sep_plans(pa, bpa, tuple(img_a.shape), img_a)
-        plans_b = (_sep_plans(pb, bpb, tuple(img_a.shape), img_a)
-                   if plans_a is not None else None)
-        if plans_a is not None and plans_b is not None:
+        route_a = _sep_plans(pa, bpa, tuple(img_a.shape), img_a)
+        route_b = (_sep_plans(pb, bpb, tuple(img_a.shape), img_a)
+                   if route_a is not None else None)
+        if route_a is not None and route_b is not None:
             from microimagelib_tpu.utils.device import committed_platform
 
-            fa, ba = plans_a
-            fb, bb = plans_b
             interp = committed_platform(img_a) != "tpu"
-            return _rl_dual_sep(img_a, img_b, tuple(fa[:5]), tuple(ba[:5]),
-                                tuple(fb[:5]), tuple(bb[:5]), n_iters,
-                                const_initial, fa.meta, ba.meta, fb.meta,
-                                bb.meta, interp)
+            if route_a[0] == "fused" and route_b[0] == "fused":
+                pa_, pb_ = route_a[1], route_b[1]
+                return _rl_dual_sep_fused(img_a, img_b, tuple(pa_[:10]),
+                                          tuple(pb_[:10]), n_iters,
+                                          const_initial, pa_.meta, pb_.meta,
+                                          interp)
+            # mixed fused/pair (e.g. one view's rank blows the fused VMEM
+            # budget): coerce to pairs — a fused plan implies both stage
+            # plans exist
+            from microimagelib_tpu.ops.conv_sep import plan_sep
+
+            tol = float(os.environ.get("MIL_CONV_SEP_TOL", "1e-6"))
+            shape = tuple(img_a.shape)
+
+            def as_pair(route, p_np, b_np):
+                if route[0] == "pair":
+                    return route[1]
+                return (plan_sep(p_np, shape, tol=tol),
+                        plan_sep(b_np, shape, tol=tol))
+
+            fa, ba = as_pair(route_a, pa, bpa)
+            fb, bb = as_pair(route_b, pb, bpb)
+            return _rl_dual_sep(img_a, img_b, tuple(fa[:5]),
+                                tuple(ba[:5]), tuple(fb[:5]),
+                                tuple(bb[:5]), n_iters, const_initial,
+                                fa.meta, ba.meta, fb.meta, bb.meta,
+                                interp)
     return _rl_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
                     const_initial, _fft_impl(img_a.shape, img_a),
                     mm_precision())

@@ -50,7 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from microimagelib_tpu.ops.fft_pallas import _dot3_cl, _dot3_cr, _hi_lo
 
-__all__ = ["plan_sep", "conv3_sep", "SepPlan", "sep_grid_supported"]
+__all__ = ["plan_sep", "conv3_sep", "SepPlan", "sep_grid_supported",
+           "plan_rl_fused", "rl_iter_fused", "RLFusedPlan"]
 
 _VMEM_LIMIT = 100 * 1024 * 1024
 
@@ -221,6 +222,9 @@ def _kernel(v_ref, aux_ref, cxh_ref, cxl_ref, cyh_ref, cyl_ref, tz_ref,
     i = pl.program_id(0)
 
     for r in range(rank):
+        # per-z-row 2D matmuls measure FASTER than one batched
+        # (zb*ny, nx) x-pass (24.7 vs 23.3 ms/iter at 512^3) — the
+        # reshape materializes and breaks x/y pass interleaving
         for dz in range(zb):
             t = _dot3_cr(v_ref[dz], cxh_ref[r], cxl_ref[r])
             cur_ref[r, dz] = _dot3_cl(cyh_ref[r], cyl_ref[r], t)
@@ -282,6 +286,184 @@ def _conv3_sep(v, aux, cxh, cxl, cyh, cyl, tz, meta, mode, smallvalue,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(v, aux, cxh, cxl, cyh, cyl, tz)
+
+
+class RLFusedPlan(NamedTuple):
+    """Both RL projector stages planned for ONE fused kernel per
+    iteration. ``meta`` = (zb, a1, b1, rank1, n1, a2, b2, rank2, n2, g)
+    static; arrays are device constants (fwd stage then bp stage)."""
+
+    c1xh: jax.Array
+    c1xl: jax.Array
+    c1yh: jax.Array
+    c1yl: jax.Array
+    tz1: jax.Array
+    c2xh: jax.Array
+    c2xl: jax.Array
+    c2yh: jax.Array
+    c2yl: jax.Array
+    tz2: jax.Array
+    meta: tuple
+
+
+def plan_rl_fused(psf, psf_bp, shape, tol=1e-6, max_rank=4,
+                  vmem_budget=None):
+    """Plan a whole RL iteration (fwd conv -> ratio -> bp conv ->
+    update) as ONE pallas call: ~3 volume-sized HBM passes per
+    iteration instead of the two-call path's ~6. Returns None when
+    either projector fails :func:`plan_sep` or the doubled VMEM
+    working set does not fit; callers fall back to two fused-mode
+    :func:`conv3_sep` calls."""
+    nz, ny, nx = shape
+    budget = vmem_budget if vmem_budget is not None else _VMEM_RL_LIMIT
+    row = ny * nx * 4
+    for zb in (8, 4):
+        if not sep_grid_supported(shape, zb):
+            continue
+        pf = plan_sep(psf, shape, zb=zb, tol=tol, max_rank=max_rank,
+                      vmem_budget=budget)
+        pb = (plan_sep(psf_bp, shape, zb=zb, tol=tol, max_rank=max_rank,
+                       vmem_budget=budget) if pf is not None else None)
+        if pb is None:
+            continue
+        _, a1, b1, r1, n1, g = pf.meta
+        _, a2, b2, r2, n2, _ = pb.meta
+        # est/img/out pipelines (2 blocks each) + est ring (2) + both
+        # stages' rolling buffers + assembly/acc/ratio temporaries
+        need = row * (8 * zb
+                      + r1 * (2 * zb + max(a1, 1))
+                      + r2 * (2 * zb + max(a2, 1))
+                      + 4 * zb + n1 + n2)
+        if need > budget * 0.9:
+            continue
+        return RLFusedPlan(pf.cxh, pf.cxl, pf.cyh, pf.cyl, pf.tz,
+                           pb.cxh, pb.cxl, pb.cyh, pb.cyl, pb.tz,
+                           (zb, a1, b1, r1, n1, a2, b2, r2, n2, g))
+    return None
+
+
+_VMEM_RL_LIMIT = 128 * 1024 * 1024
+
+
+def _zconv_emit(cur, prev, tail, tz_ref, r, a, b, zb, nsteps, shape):
+    """z-FMA over the [tail | prev | head-of-cur] assembly of one
+    stage's rolling xy-convolved slabs."""
+    asm = jnp.concatenate(
+        ([tail[r]] if a else []) + [prev[r]]
+        + ([cur[r, :b]] if b else []), axis=0)
+    acc = jnp.zeros((zb,) + shape, jnp.float32)
+    for s in range(nsteps):
+        acc += tz_ref[r, s] * asm[s:s + zb]
+    return acc
+
+
+def _rl_kernel(v_ref, img_ref, c1xh, c1xl, c1yh, c1yl, tz1,
+               c2xh, c2xl, c2yh, c2yl, tz2, o_ref,
+               cur1, prev1, tail1, cur2, prev2, tail2, keep, *,
+               zb, a1, b1, r1, n1, a2, b2, r2, n2, smallvalue):
+    i = pl.program_id(0)
+    pshape = v_ref.shape[1:]
+
+    for r in range(r1):
+        for dz in range(zb):
+            t = _dot3_cr(v_ref[dz], c1xh[r], c1xl[r])
+            cur1[r, dz] = _dot3_cl(c1yh[r], c1yl[r], t)
+
+    @pl.when(i >= 2)
+    def _ratio_stage():
+        fwd = jnp.zeros((zb,) + pshape, jnp.float32)
+        for r in range(r1):
+            fwd += _zconv_emit(cur1, prev1, tail1, tz1, r, a1, b1, zb,
+                               n1, pshape)
+        ratio = img_ref[...] / fwd
+        for r in range(r2):
+            for dz in range(zb):
+                t = _dot3_cr(ratio[dz], c2xh[r], c2xl[r])
+                cur2[r, dz] = _dot3_cl(c2yh[r], c2yl[r], t)
+
+    @pl.when(i >= 4)
+    def _update_stage():
+        upd = jnp.zeros((zb,) + pshape, jnp.float32)
+        for r in range(r2):
+            upd += _zconv_emit(cur2, prev2, tail2, tz2, r, a2, b2, zb,
+                               n2, pshape)
+        # est slab (i-4) was stashed from v_ref two steps ago; read it
+        # BEFORE this step's stash overwrites the 2-slot ring
+        o_ref[...] = jnp.maximum(keep[i % 2] * upd, smallvalue)
+
+    keep[i % 2] = v_ref[...]
+    for r in range(r1):
+        if a1:
+            tail1[r] = prev1[r, zb - a1:]
+        prev1[r] = cur1[r]
+
+    @pl.when(i >= 2)
+    def _roll2():
+        for r in range(r2):
+            if a2:
+                tail2[r] = prev2[r, zb - a2:]
+            prev2[r] = cur2[r]
+
+
+@partial(jax.jit, static_argnames=("meta", "smallvalue", "interpret"))
+def _rl_iter_fused(est, img, c1xh, c1xl, c1yh, c1yl, tz1,
+                   c2xh, c2xl, c2yh, c2yl, tz2, meta, smallvalue,
+                   interpret):
+    nz, ny, nx = est.shape
+    zb, a1, b1, r1, n1, a2, b2, r2, n2, g = meta
+    est_spec = pl.BlockSpec((zb, ny, nx),
+                            lambda i: ((i + g - 2) % g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    img_spec = pl.BlockSpec((zb, ny, nx),
+                            lambda i: ((i + 2 * g - 3) % g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_map = lambda i: (jnp.maximum(i - 4, 0), 0, 0)  # noqa: E731
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        partial(_rl_kernel, zb=zb, a1=a1, b1=b1, r1=r1, n1=n1, a2=a2,
+                b2=b2, r2=r2, n2=n2, smallvalue=smallvalue),
+        grid=(g + 4,),
+        in_specs=[est_spec, img_spec,
+                  const_spec(c1xh), const_spec(c1xl),
+                  const_spec(c1yh), const_spec(c1yl),
+                  pl.BlockSpec(tz1.shape, lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  const_spec(c2xh), const_spec(c2xl),
+                  const_spec(c2yh), const_spec(c2yl),
+                  pl.BlockSpec(tz2.shape, lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((zb, ny, nx), out_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((r1, zb, ny, nx), jnp.float32),
+            pltpu.VMEM((r1, zb, ny, nx), jnp.float32),
+            pltpu.VMEM((r1, max(a1, 1), ny, nx), jnp.float32),
+            pltpu.VMEM((r2, zb, ny, nx), jnp.float32),
+            pltpu.VMEM((r2, zb, ny, nx), jnp.float32),
+            pltpu.VMEM((r2, max(a2, 1), ny, nx), jnp.float32),
+            pltpu.VMEM((2, zb, ny, nx), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_RL_LIMIT),
+        interpret=interpret,
+    )(est, img, c1xh, c1xl, c1yh, c1yl, tz1,
+      c2xh, c2xl, c2yh, c2yl, tz2)
+
+
+def rl_iter_fused(est, img, plan, smallvalue=0.01, interpret=None):
+    """One full RL iteration as ONE pallas call:
+    max(est * conv_bp(img / conv_fwd(est)), smallvalue)
+    (reference per-iteration structure reference:src/api_subfunc.cu:
+    3404-3416). ``plan`` from :func:`plan_rl_fused`."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _rl_iter_fused(est, img, *plan[:10], plan.meta,
+                          float(smallvalue), bool(interpret))
 
 
 def conv3_sep(v, plan, aux=None, mode="plain", smallvalue=0.01,

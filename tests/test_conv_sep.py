@@ -16,7 +16,12 @@ from microimagelib_tpu.models.deconvolution import (
     rl_decon_dual,
     rl_decon_single,
 )
-from microimagelib_tpu.ops.conv_sep import conv3_sep, plan_sep
+from microimagelib_tpu.ops.conv_sep import (
+    conv3_sep,
+    plan_rl_fused,
+    plan_sep,
+    rl_iter_fused,
+)
 
 SHAPE = (16, 16, 128)
 
@@ -98,13 +103,15 @@ def _rl_ref(img, psf, psf_bp, n_iters, dual_b=None, psf_b=None,
                                     const_initial))
 
 
+@pytest.mark.parametrize("fused", ["0", "1"])
 @pytest.mark.parametrize("const_initial", [False, True])
-def test_rl_single_sep_matches_fft(rng, monkeypatch, const_initial):
+def test_rl_single_sep_matches_fft(rng, monkeypatch, const_initial, fused):
     img = (rng.random(SHAPE) * 100 + 1).astype(np.float32)
     psf = gauss3((9, 9, 9), (1.5, 1.2, 1.8))
     ref = _rl_ref(img, psf, psf[::-1, ::-1, ::-1], 5,
                   const_initial=const_initial)
     monkeypatch.setenv("MIL_CONV_SEP", "1")  # force off-TPU (interpret)
+    monkeypatch.setenv("MIL_CONV_SEP_FUSED", fused)
     out = np.asarray(rl_decon_single(jnp.asarray(img), None, None, 5,
                                      const_initial, psf=psf))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4 * ref.max())
@@ -121,7 +128,8 @@ def test_rl_single_sep_unmatched_bp(rng, monkeypatch):
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4 * ref.max())
 
 
-def test_rl_dual_sep_matches_fft(rng, monkeypatch):
+@pytest.mark.parametrize("fused", ["0", "1"])
+def test_rl_dual_sep_matches_fft(rng, monkeypatch, fused):
     img_a = (rng.random(SHAPE) * 100 + 1).astype(np.float32)
     img_b = (rng.random(SHAPE) * 100 + 1).astype(np.float32)
     psf_a = gauss3((9, 9, 9), (1.5, 1.2, 1.8))
@@ -129,10 +137,43 @@ def test_rl_dual_sep_matches_fft(rng, monkeypatch):
     ref = _rl_ref(img_a, psf_a, psf_a[::-1, ::-1, ::-1], 3, dual_b=img_b,
                   psf_b=psf_b, psf_bp_b=psf_b[::-1, ::-1, ::-1])
     monkeypatch.setenv("MIL_CONV_SEP", "1")
+    monkeypatch.setenv("MIL_CONV_SEP_FUSED", fused)
     out = np.asarray(rl_decon_dual(jnp.asarray(img_a), jnp.asarray(img_b),
                                    None, None, None, None, 3,
                                    psf_a=psf_a, psf_b=psf_b))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4 * ref.max())
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 128), (32, 16, 128),
+                                   (64, 8, 128)])
+def test_rl_iter_fused_matches_two_call(rng, shape):
+    """The one-pallas-call RL iteration equals the composed
+    ratio/update two-call path exactly — same circulants, same taps —
+    across grid sizes incl. the g=2 full-wrap case."""
+    psf = gauss3((9, 9, 9), (1.5, 1.2, 1.8))
+    bp = np.ascontiguousarray(psf[::-1, ::-1, ::-1])
+    est = jnp.asarray((rng.random(shape) * 100 + 1).astype(np.float32))
+    img = jnp.asarray((rng.random(shape) * 100 + 1).astype(np.float32))
+    fused = plan_rl_fused(psf, bp, shape)
+    assert fused is not None
+    pf, pb = plan_sep(psf, shape), plan_sep(bp, shape)
+    ratio = conv3_sep(est, pf, aux=img, mode="ratio")
+    ref = np.asarray(conv3_sep(ratio, pb, aux=est, mode="update",
+                               smallvalue=0.01))
+    out = np.asarray(rl_iter_fused(est, img, fused))
+    np.testing.assert_allclose(out, ref, atol=2e-6 * np.abs(ref).max())
+
+
+def test_rl_fused_plan_rejects_when_vmem_tight(rng):
+    psf = gauss3((9, 9, 9), (1.5, 1.2, 1.8))
+    bp = np.ascontiguousarray(psf[::-1, ::-1, ::-1])
+    assert plan_rl_fused(psf, bp, (16, 16, 128),
+                         vmem_budget=1 << 18) is None
+    # rank-4 pair still fits at this small shape
+    r4 = gauss3((7, 9, 11), (1.0, 1.5, 2.0)) \
+        + 0.3 * gauss3((7, 9, 11), (2.0, 1.0, 0.8))
+    assert plan_rl_fused(r4, np.ascontiguousarray(r4[::-1, ::-1, ::-1]),
+                         (16, 16, 128)) is not None
 
 
 def test_sep_auto_threshold(monkeypatch):
