@@ -45,6 +45,8 @@ from microimagelib_tpu.models.deconvolution import (
 from microimagelib_tpu.models.fusion import preprocess_views
 from microimagelib_tpu.models.projections import mip3d, mp2d
 from microimagelib_tpu.models.registration import checkmatrix, reg3d
+from microimagelib_tpu.ops.affine import affine_transform_3d
+from microimagelib_tpu.ops.matrix import identity_tmx
 
 COST_VALUE_BAR = 0.1  # reference:src/spim_fusion_batch.cpp:563
 
@@ -176,9 +178,11 @@ def _flush_group_single(group, otfs, cfg, emit_outputs, log_path):
         entries.append(entries[-1])
     pads_a = jnp.stack([e[1] for e in entries])
     pads_b = jnp.stack([e[2] for e in entries])
-    est = np.asarray(decon_dualview_prepared_batch(
+    # keep the group estimate device-resident: emit_outputs runs the MIPs
+    # from device slices and only the TIFF writes fetch
+    est = decon_dualview_prepared_batch(
         pads_a, pads_b, otfs["otf1"], otfs["otf2"], otfs["bp1"], otfs["bp2"],
-        cfg.it_num_decon, False, out_shape))
+        cfg.it_num_decon, False, out_shape)
     for i, t in enumerate(ts):
         emit_outputs(t, est[i])
     _log(log_path, f"\t... Deconvolution (group of {len(ts)}) time cost: "
@@ -419,17 +423,29 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
             print(f"\n*** Image time point number: {t} ")
         _log(log_path, f"\n*** Image time point number: {t} \n... Registration...\n")
 
+        # device-resident fast path: the rotate/resample/transform/decon/
+        # MIP chain stays on device; host round trips between stages cost
+        # ~0.1-0.2 s EACH at batch-class shapes on a tunneled TPU
         a_iso, b_iso = preprocess_views(a_in, b_in, cfg.pixel1, cfg.pixel2,
-                                        cfg.im_rotation, verbose=cfg.verbose)
+                                        cfg.im_rotation, verbose=cfg.verbose,
+                                        as_device=True)
         sz, sy, sx = a_iso.shape
         t1 = time.time()
 
         # --- registration per regMode ---
         rec = np.zeros(11)
         if reg_mode == 0:
-            reg_b, out_tmx, rec = reg3d(a_iso, b_iso, 0, aff_method,
-                                        tmx_apply is not None, tmx_apply,
-                                        cfg.ftol, cfg.it_limit, verbose=cfg.verbose)
+            # apply-only: one device dispatch, no host round trip (same
+            # semantics as reg3d choice 0 / affMethod 0 in mem mode 1)
+            if tmx_apply is not None:
+                reg_b = affine_transform_3d(b_iso,
+                                            np.asarray(tmx_apply, np.float32),
+                                            (sz, sy, sx))
+                out_tmx = np.asarray(tmx_apply, np.float32).copy()
+            else:
+                reg_b = b_iso
+                out_tmx = identity_tmx()
+            rec[7] = time.time() - t1
         elif reg_mode == 2:
             if idx == 0:
                 reg_b, out_tmx, rec = _register_with_cascade(
@@ -460,17 +476,24 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
         write_tmx(os.path.join(paths["tmx"], f"Matrix_{t}.tmx"), out_tmx)
         if cfg.save_reg_a:
             write_async(writetifstack, os.path.join(paths["reg_a"], f"{cfg.name1}reg_{t}.tif"),
-                        a_iso, cfg.bit_per_sample)
+                        np.asarray(a_iso), cfg.bit_per_sample)
         if cfg.save_reg_b:
             write_async(writetifstack, os.path.join(paths["reg_b"], f"{cfg.name2}reg_{t}.tif"),
-                        reg_b, cfg.bit_per_sample)
+                        np.asarray(reg_b), cfg.bit_per_sample)
         t2 = time.time()
 
         def emit_outputs(t_out, decon):
+            # MIPs run from the device-resident volume (no re-upload);
+            # the TIFF write fetches once, in this thread — device
+            # fetches from the async writer threads are not safe on the
+            # tunneled backend
+            dec_dev = jnp.asarray(decon, jnp.float32)
+            dec_np = (decon if isinstance(decon, np.ndarray)
+                      else np.asarray(dec_dev))
             write_async(writetifstack, os.path.join(paths["decon"], f"Decon_{t_out}.tif"),
-                        decon, cfg.bit_per_sample)
+                        dec_np, cfg.bit_per_sample)
             if cfg.save_mp_z or cfg.save_mp_x or cfg.save_mp_y:
-                mps = mp2d(decon, cfg.save_mp_z, cfg.save_mp_x, cfg.save_mp_y)
+                mps = mp2d(dec_dev, cfg.save_mp_z, cfg.save_mp_x, cfg.save_mp_y)
                 if cfg.save_mp_z:
                     write_async(writetifstack, os.path.join(paths["mp_xy"], f"MP_XY_{t_out}.tif"),
                                 mps["xy"], cfg.bit_per_sample)
@@ -482,10 +505,10 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
                                 mps["zx"], cfg.bit_per_sample)
             if cfg.save_3d_x:
                 write_async(writetifstack, os.path.join(paths["mp3d_x"], f"MP_3D_Xaxis_{t_out}.tif"),
-                            mip3d(decon, 1, 36), cfg.bit_per_sample)
+                            mip3d(dec_dev, 1, 36), cfg.bit_per_sample)
             if cfg.save_3d_y:
                 write_async(writetifstack, os.path.join(paths["mp3d_y"], f"MP_3D_Yaxis_{t_out}.tif"),
-                            mip3d(decon, 2, 36), cfg.bit_per_sample)
+                            mip3d(dec_dev, 2, 36), cfg.bit_per_sample)
 
         # --- joint deconvolution (precomputed OTFs, reused every timepoint) ---
         _log(log_path, "... Deconvolution...\n")
@@ -511,9 +534,11 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
                 _flush_group_single(group, otfs, cfg, emit_outputs, log_path)
                 group.clear()
         else:
-            decon = np.asarray(decon_dualview_prepared(
+            # device array through to emit_outputs — MIPs chain on it and
+            # only the TIFF write fetches to host
+            decon = decon_dualview_prepared(
                 pad_a, pad_b, otfs["otf1"], otfs["otf2"], otfs["bp1"], otfs["bp2"],
-                cfg.it_num_decon, False, (sz, sy, sx)))
+                cfg.it_num_decon, False, (sz, sy, sx))
             _log(log_path, f"\t... Deconvolution time cost: {time.time() - t_dec:2.3f} s\n")
             emit_outputs(t, decon)
 

@@ -71,29 +71,43 @@ def fusion_sizes(size_a_xyz, size_b_xyz, pixel_a, pixel_b, im_rotation):
     return tgt, tmp, 0
 
 
-def preprocess_views(img_a, img_b, pixel_a, pixel_b, im_rotation, device=None, verbose=False):
+def preprocess_views(img_a, img_b, pixel_a, pixel_b, im_rotation, device=None,
+                     verbose=False, as_device=False):
     """Steps 1-2: isotropize A; rotate+isotropize B. Returns (a_iso, b_iso)
-    as (z, y, x) float32 numpy arrays on the isotropic grid."""
-    a = np.asarray(img_a, np.float32)
-    b = np.asarray(img_b, np.float32)
+    as (z, y, x) float32 arrays on the isotropic grid — numpy by default,
+    device-resident jax arrays with ``as_device=True`` (the batch driver's
+    fast path: the rotate -> resample chain stays on device with no
+    intermediate host round trips, which dominate at batch-class shapes
+    on a tunneled TPU)."""
+    from microimagelib_tpu.ops.resample import resize3d_separable
+
+    a = jnp.asarray(np.asarray(img_a, np.float32))
+    b = jnp.asarray(np.asarray(img_b, np.float32))
+    if device is not None:
+        import jax
+
+        a = jax.device_put(a, device)
+        b = jax.device_put(b, device)
     size_a = (a.shape[2], a.shape[1], a.shape[0])
     size_b = (b.shape[2], b.shape[1], b.shape[0])
     tgt_xyz, b_xyz, op_choice = fusion_sizes(size_a, size_b, pixel_a, pixel_b, im_rotation)
     tgt_zyx = (tgt_xyz[2], tgt_xyz[1], tgt_xyz[0])
     b_zyx = (b_xyz[2], b_xyz[1], b_xyz[0])
-    if a.shape != tgt_zyx:
+    if tuple(a.shape) != tgt_zyx:
         if verbose:
             print("\tImage 1 interpolation ...")
-        a = imresize3d(a, tgt_zyx, device)
+        a = resize3d_separable(a, tgt_zyx)
     if op_choice != 0:
         if verbose:
             print("\tImage 2 rotation ...")
-        b = imoperation3d(b, op_choice, device)
-    if b.shape != b_zyx:
+        b = rot_by_y_axis(b, 1 if op_choice == 1 else -1)
+    if tuple(b.shape) != b_zyx:
         if verbose:
             print("\tImage 2 interpolation ...")
-        b = imresize3d(b, b_zyx, device)
-    return a, b
+        b = resize3d_separable(b, b_zyx)
+    if as_device:
+        return a, b
+    return np.asarray(a), np.asarray(b)
 
 
 def fusion_dualview(img_a, img_b, psf_a, psf_b,
