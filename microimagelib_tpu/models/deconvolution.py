@@ -350,6 +350,11 @@ def rl_decon_single(img, otf, otf_bp, n_iters, const_initial=False,
             return _rl_single_sep(img, tuple(fwd[:5]), tuple(bp[:5]),
                                   n_iters, const_initial, fwd.meta, bp.meta,
                                   interp)
+        if otf is None:
+            # caller relied on the sep route but the plan was refused;
+            # fall back through the PSF instead of crashing on None OTFs
+            otf = gen_otf(jnp.asarray(psf_np), img.shape)
+            otf_bp = gen_otf(jnp.asarray(bp_np), img.shape)
     return _rl_single(img, otf, otf_bp, n_iters, const_initial,
                       _fft_impl(img.shape, img), mm_precision())
 
@@ -452,6 +457,13 @@ def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
                                 tuple(bb[:5]), n_iters, const_initial,
                                 fa.meta, ba.meta, fb.meta, bb.meta,
                                 interp)
+        if otf_a is None:
+            # sep route refused; build the OTFs from the PSFs instead of
+            # crashing on None
+            otf_a = gen_otf(jnp.asarray(pa), img_a.shape)
+            otf_b = gen_otf(jnp.asarray(pb), img_a.shape)
+            otf_bp_a = gen_otf(jnp.asarray(bpa), img_a.shape)
+            otf_bp_b = gen_otf(jnp.asarray(bpb), img_a.shape)
     return _rl_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
                     const_initial, _fft_impl(img_a.shape, img_a),
                     mm_precision())

@@ -124,33 +124,14 @@ def _rotate_and_mip_all_matmul(img, mats, out_shape, r_axis):
     return jax.lax.map(one, mats)
 
 
-@partial(jax.jit, static_argnames=("out_shape", "r_axis", "chunk", "prec"))
-def _rotate_and_mip_all_factored(img, mats, out_shape, r_axis, chunk, prec):
-    """Factored Wa(.)Wb form of the matmul MIP for fusion-class shapes,
-    where the dense one-hot W would be O(s*p) to build (round-2
-    measurement: 987 ms/36 frames at the fusion iso shape, scatter/
-    zero-init bound). The joint bilinear weight of output point
-    (z', b') factorizes per axis — w[(a,b),(z',b')] = wa[a,(z',b')] *
-    wb[b,(z',b')] — and product-of-clamped-tap-sums equals the joint
-    scatter's sum-of-products, while the per-axis validity masks multiply
-    to the joint +-0.5 validity box, so the result is EXACT vs the
-    gather/big-W paths. The two tap tables are (zo, na, po) and
-    (zo, nb, po) — ~100x smaller than W — and the z'-MIP folds across a
-    lax.scan over z' chunks, bounding the intermediate to
-    rows*na*chunk*po."""
-    sz, sy, sx = img.shape
-    zo = out_shape[0]
-    if r_axis == 2:   # rotation about Y: (z, x) resamples, y invariant
-        po = out_shape[2]
-        src3 = img.transpose(1, 0, 2)       # (r=y, a=z, b=x)
-        na, nb = sz, sx
-    else:             # rotation about X: (z, y) resamples, x invariant
-        po = out_shape[1]
-        src3 = img.transpose(2, 0, 1)       # (r=x, a=z, b=y)
-        na, nb = sz, sy
-    rows = src3.shape[0]
+@partial(jax.jit, static_argnames=("zo", "na", "nb", "po", "chunk",
+                                   "r_axis"))
+def _factored_tables(mats, zo, na, nb, po, chunk, r_axis):
+    """Per-frame 2-tap tables for the factored MIP — (n, zpad/chunk,
+    chunk, n_axis, po) per axis. Image-independent: they depend only on
+    the grid shape and the rotation matrices, so the batch driver reuses
+    them across every timepoint (cache in :func:`mip3d`)."""
     zpad = -(-zo // chunk) * chunk
-
     zs = jnp.arange(zo, dtype=jnp.float32)[:, None]
     bs = jnp.arange(po, dtype=jnp.float32)[None, :]
 
@@ -181,9 +162,27 @@ def _rotate_and_mip_all_factored(img, mats, out_shape, r_axis, chunk, prec):
             ca = m[2, 1] * bs + m[2, 2] * zs + m[2, 3]
         wa = tap_table(ca, na).reshape(zpad // chunk, chunk, na, po)
         wb = tap_table(cb, nb).reshape(zpad // chunk, chunk, nb, po)
+        return wa, wb
 
-        def body(carry, ws):
-            wa_c, wb_c = ws
+    return jax.lax.map(one, mats)
+
+
+@partial(jax.jit, static_argnames=("r_axis", "prec"))
+def _factored_contract(img, was, wbs, r_axis, prec):
+    """Contract the per-frame tap tables against the volume, folding the
+    z'-MIP across a lax.scan over z' chunks (intermediate bounded to
+    rows*na*chunk*po)."""
+    if r_axis == 2:
+        src3 = img.transpose(1, 0, 2)       # (r=y, a=z, b=x)
+    else:
+        src3 = img.transpose(2, 0, 1)       # (r=x, a=z, b=y)
+    rows, po = src3.shape[0], was.shape[-1]
+
+    def one(ws):
+        wa, wb = ws
+
+        def body(carry, wc):
+            wa_c, wb_c = wc
             u = jnp.einsum("rab,cbq->racq", src3, wb_c, precision=prec)
             out_c = jnp.einsum("racq,caq->rcq", u, wa_c, precision=prec)
             return jnp.maximum(carry, out_c.max(axis=1)), None
@@ -195,7 +194,53 @@ def _rotate_and_mip_all_factored(img, mats, out_shape, r_axis, chunk, prec):
             frame = frame.T
         return frame
 
-    return jax.lax.map(one, mats)
+    return jax.lax.map(one, (was, wbs))
+
+
+_FACTORED_TABLE_CACHE = {}
+
+
+def _rotate_and_mip_all_factored(img, mats, out_shape, r_axis, chunk, prec):
+    """Factored Wa(.)Wb form of the matmul MIP for fusion-class shapes,
+    where the dense one-hot W would be O(s*p) to build (round-2
+    measurement: 987 ms/36 frames at the fusion iso shape, scatter/
+    zero-init bound). The joint bilinear weight of output point
+    (z', b') factorizes per axis — w[(a,b),(z',b')] = wa[a,(z',b')] *
+    wb[b,(z',b')] — and product-of-clamped-tap-sums equals the joint
+    scatter's sum-of-products, while the per-axis validity masks multiply
+    to the joint +-0.5 validity box, so the result is EXACT vs the
+    gather/big-W paths. The two tap tables are (zo, na, po) and
+    (zo, nb, po) — ~100x smaller than W.
+
+    The tables are image-independent, so they are cached on device per
+    (shape, axis, frame count) and reused across timepoints — the batch
+    driver calls this every timepoint with the same geometry
+    (MIL_MIP_TABLE_CACHE=0 disables; at most 2 entries, and only when
+    the tables fit in a quarter of free HBM)."""
+    sz, sy, sx = img.shape
+    zo = out_shape[0]
+    if r_axis == 2:
+        po, na, nb = out_shape[2], sz, sx
+    else:
+        po, na, nb = out_shape[1], sz, sy
+    key = (sz, sy, sx, mats.shape[0], r_axis, chunk)
+    hit = _FACTORED_TABLE_CACHE.get(key)
+    if hit is None:
+        was, wbs = _factored_tables(jnp.asarray(mats), zo, na, nb, po,
+                                    chunk, r_axis)
+        if os.environ.get("MIL_MIP_TABLE_CACHE", "1") != "0":
+            from microimagelib_tpu.utils.device import free_memory_mb
+
+            free_mb = free_memory_mb()
+            tbytes = (was.size + wbs.size) * 4
+            if free_mb < 0 or tbytes <= free_mb * 1048576 * 0.25:
+                while len(_FACTORED_TABLE_CACHE) >= 2:
+                    _FACTORED_TABLE_CACHE.pop(
+                        next(iter(_FACTORED_TABLE_CACHE)))
+                _FACTORED_TABLE_CACHE[key] = (was, wbs)
+    else:
+        was, wbs = hit
+    return _factored_contract(img, was, wbs, r_axis, prec)
 
 
 def mip3d(img, r_axis, project_num=36):

@@ -873,6 +873,13 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
     t_start = time.time()
     if records is None:
         records = np.zeros(11, dtype=np.float64)
+    if tuple(np.shape(img1)) != tuple(np.shape(img2)):
+        # the reg3d dispatcher centered-aligns mismatched sources first
+        # (reference:src/api_reg.cpp:398-407); the ladder itself assumes
+        # equal extents, and the NCC kernels would mis-pad otherwise
+        raise ValueError(
+            f"reg3d_affine needs equal shapes, got {np.shape(img1)} vs "
+            f"{np.shape(img2)}; use reg3d, which aligns the source first")
     mem_mode = _resolve_reg_mem_mode(np.shape(img1), mem_mode, device)
     if (mem_mode == 2
             and not _reg_mode1_fits(np.shape(img1), device)):

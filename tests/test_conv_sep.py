@@ -197,6 +197,21 @@ def test_sep_auto_threshold(monkeypatch):
     assert _sep_plans(psf, bp, (512, 128, 128)) is not None
 
 
+def test_psf_only_call_without_otfs_falls_back(rng, monkeypatch):
+    """psf given, OTFs None, sep plan REFUSED (policy off) -> the entry
+    builds the OTFs from the PSF instead of crashing."""
+    img = (rng.random((16, 16, 100)) * 10 + 1).astype(np.float32)  # grid unsupported
+    psf = gauss3((9, 9, 9), (1.5, 1.5, 1.5))
+    monkeypatch.setenv("MIL_CONV_SEP", "1")
+    out = np.asarray(rl_decon_single(jnp.asarray(img), None, None, 2, psf=psf))
+    ref = _rl_ref(img, psf, psf[::-1, ::-1, ::-1], 2)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5 * ref.max())
+    out_d = np.asarray(rl_decon_dual(jnp.asarray(img), jnp.asarray(img),
+                                     None, None, None, None, 2,
+                                     psf_a=psf, psf_b=psf))
+    assert np.isfinite(out_d).all()
+
+
 def test_sep_policy_gates(rng, monkeypatch):
     """Off by default on CPU (auto requires TPU); MIL_CONV_SEP=0 blocks the
     forced route; non-qualifying PSFs fall back to the FFT loop."""
