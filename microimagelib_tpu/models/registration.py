@@ -845,6 +845,20 @@ def _reg3d_affine_lowmem(img1, img2, aff_method, flag_tmx, tmx, ftol,
     return np.asarray(reg), np.asarray(m_full, np.float32), records
 
 
+@jax.jit
+def _reg_stats(src_base, tgt):
+    """Mean-subtracted volumes + their energies, one device program
+    (the reference computes these as separate reduction launches,
+    reference:src/api_subfunc.cu:2802-2824)."""
+    n = src_base.size
+    sm = jnp.sum(src_base) / n
+    src_ms = src_base - sm
+    tm = jnp.sum(tgt) / n
+    tgt_ms = tgt - tm
+    return (src_ms, tgt_ms, jnp.sum(src_ms * src_ms),
+            jnp.sum(tgt_ms * tgt_ms))
+
+
 def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
                  it_limit=3000, verbose=False, records=None, device=None,
                  engine="auto", mem_mode=-1):
@@ -917,7 +931,6 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
         img1 = jnp.asarray(img1, jnp.float32)
         img2 = jnp.asarray(img2, jnp.float32)
     sz, sy, sx = img1.shape
-    total = sx * sy * sz
 
     if aff_method == 0:
         if flag_tmx and tmx is not None:
@@ -940,18 +953,16 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
             src_pre = affine_transform_3d(img2, np.asarray(tmx, np.float32), img1.shape)
             pre_transformed = True
 
-    # --- preprocess source: mean-subtract (possibly pre-transformed) ---
+    # --- preprocess both volumes in ONE program: mean-subtract + energy
+    # (each separate scalar fetch is a full dispatch+fetch round trip on
+    # a tunneled device; the old 4-fetch sequence cost ~0.1-0.2 s) ---
     src_base = src_pre if pre_transformed else img2
-    src_mean = float(jnp.sum(src_base)) / total
-    src_ms = src_base - src_mean
-    src_energy = math.sqrt(float(jnp.sum(src_ms * src_ms)))
+    src_ms, tgt_ms, se2, st2 = _reg_stats(src_base, img1)
+    se2_f, st2_f = jax.device_get((se2, st2))
+    src_energy = math.sqrt(float(se2_f))
     if src_energy == 0:
         raise ValueError("SD of image 2 is zero, empty image input or empty image after initial transformation")
-
-    # --- preprocess target ---
-    tgt_mean = float(jnp.sum(img1)) / total
-    tgt_ms = img1 - tgt_mean
-    sd_t = math.sqrt(float(jnp.sum(tgt_ms * tgt_ms)))
+    sd_t = math.sqrt(float(st2_f))
     if sd_t == 0:
         raise ValueError("SD of image 1 is zero, empty image input")
 
@@ -1368,11 +1379,12 @@ def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
 
     factor: pooling factor (auto: halve until the coarse level is
     <= ~96^3 voxels)."""
-    img1 = np.asarray(img1, np.float32)
-    img2 = np.asarray(img2, np.float32)
+    # device arrays pass through — np.asarray here would fetch a
+    # device-resident pair to host just to re-upload it
+    img1 = jnp.asarray(img1, jnp.float32)
+    img2 = jnp.asarray(img2, jnp.float32)
     if records is None:
         records = np.zeros(11, dtype=np.float64)
-    total = img1.size
     if aff_method == 0:
         return reg3d_affine(img1, img2, 0, flag_tmx, tmx, ftol,
                             it_limit, verbose, records, device, engine,
@@ -1401,6 +1413,22 @@ def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
     # must yield a pure translation even through the pyramid. Escalation
     # methods 6/7 already end at 12-DOF, so they polish with 5.
     polish_method = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 5, 7: 5}[aff_method]
+    kz_, ky_, kx_ = _pool_factors(factor)
+    fmid = (max(1, kz_ // 2), max(1, ky_ // 2), max(1, kx_ // 2))
+    if (os.environ.get("MIL_REG_PYRAMID_MID", "0") == "1"
+            and any(v > 1 for v in fmid)):
+        # optional 3-level schedule: polish the REQUESTED model at half
+        # pooling first (each eval ~(2^3)x cheaper), so the
+        # full-resolution stage starts near-converged and spends fewer
+        # of its expensive evals
+        m1 = _mean_pool(img1, fmid)
+        m2 = _mean_pool(img2, fmid)
+        if verbose:
+            print(f"\t... pyramid: mid polish at 1/{fmid} resolution")
+        _, m_mid, _rec_m = reg3d_affine(
+            m1, m2, polish_method, True, _tmx_full_to_coarse(m_init, fmid),
+            ftol, it_limit, verbose, None, device, engine)
+        m_init = _tmx_coarse_to_full(m_mid, fmid)
     if verbose:
         print(f"\t... pyramid: full-resolution polish (method {polish_method})")
     reg, m_full, records = reg3d_affine(img1, img2, polish_method, True, m_init,

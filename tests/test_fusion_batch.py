@@ -101,6 +101,23 @@ def test_mip3d_impls_agree(rng, monkeypatch):
                                    atol=1e-5 * scale)
 
 
+def test_preprocess_views_device_matches_host(rng):
+    """as_device=True (the batch driver's fast path) returns the SAME
+    isotropized/rotated views as the numpy contract, as jax arrays."""
+    import jax
+
+    from microimagelib_tpu.models.fusion import preprocess_views
+
+    a = (rng.random((8, 24, 24)) * 100).astype(np.float32)
+    b = (rng.random((8, 24, 24)) * 100).astype(np.float32)
+    px = (0.1625, 0.1625, 0.65)
+    host = preprocess_views(a, b, px, px, -1)
+    dev = preprocess_views(a, b, px, px, -1, as_device=True)
+    assert all(isinstance(v, jax.Array) for v in dev)
+    for h, d in zip(host, dev):
+        np.testing.assert_array_equal(h, np.asarray(d))
+
+
 def test_fusion_dualview_end_to_end():
     # two identical-pixel views, one slightly shifted
     vol = blobs((20, 20, 20), n=8, seed=2)
