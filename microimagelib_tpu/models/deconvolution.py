@@ -555,17 +555,21 @@ def decon_singleview(img, psf, n_iters=20, const_initial=False, psf_bp=None,
 
     if records is not None:
         records[1] = free_memory_mb(device)
-    img_np = np.asarray(img, dtype=np.float32)
+    # device-array inputs pass through without host staging (the fetch +
+    # re-upload costs ~0.1-0.2 s each at pipeline shapes on a tunneled
+    # TPU); the streamed tier below materializes host copies when taken
+    img_shape = tuple(np.shape(img))
     psf_np = np.asarray(psf, dtype=np.float32)
-    fft_shape = _fft_grid(img_np.shape, tpu_friendly_fft)
+    fft_shape = _fft_grid(img_shape, tpu_friendly_fft)
     if verbose:
-        print(f"...Image size {img_np.shape[2]} x {img_np.shape[1]} x {img_np.shape[0]}")
+        print(f"...Image size {img_shape[2]} x {img_shape[1]} x {img_shape[0]}")
         print(f"...PSF size {psf_np.shape[2]} x {psf_np.shape[1]} x {psf_np.shape[0]}")
         print(f"...FFT size {fft_shape[2]} x {fft_shape[1]} x {fft_shape[0]}")
     mode = _resolve_mem_mode(mem_mode, fft_shape, dual=False, device=device,
                              verbose=verbose)
 
     if mode == 2:
+        img_np = np.asarray(img, dtype=np.float32)
         from microimagelib_tpu.models.decon_streamed import (
             np_crop_center,
             np_gen_otf,
@@ -603,12 +607,14 @@ def decon_singleview(img, psf, n_iters=20, const_initial=False, psf_bp=None,
     if mode == 0:
         device = jax.devices("cpu")[0]
     if device is not None:
-        # device_put the host arrays directly (jnp.asarray would stage a
-        # transient full-volume copy on the default backend first)
-        img = jax.device_put(img_np, device)
+        # device_put host arrays directly (jnp.asarray would stage a
+        # transient full-volume copy on the default backend first);
+        # device-resident inputs transfer only if pinned elsewhere
+        img = jax.device_put(img if isinstance(img, jax.Array)
+                             else np.asarray(img, np.float32), device)
         psf = jax.device_put(psf_np, device)
     else:
-        img = jnp.asarray(img_np)
+        img = jnp.asarray(img, jnp.float32)
         psf = jnp.asarray(psf_np)
     t1 = time.time()
 
@@ -659,17 +665,19 @@ def decon_dualview(img_a, img_b, psf_a, psf_b, n_iters=10, const_initial=False,
 
     if records is not None:
         records[1] = free_memory_mb(device)
-    img_a_np = np.asarray(img_a, dtype=np.float32)
-    img_b_np = np.asarray(img_b, dtype=np.float32)
-    if img_a_np.shape != img_b_np.shape:
-        raise ValueError(f"Dual-view images must match in size: {img_a_np.shape} vs {img_b_np.shape}")
+    shape_a = tuple(np.shape(img_a))
+    shape_b = tuple(np.shape(img_b))
+    if shape_a != shape_b:
+        raise ValueError(f"Dual-view images must match in size: {shape_a} vs {shape_b}")
     psf_a_np = np.asarray(psf_a, dtype=np.float32)
     psf_b_np = np.asarray(psf_b, dtype=np.float32)
-    fft_shape = _fft_grid(img_a_np.shape, tpu_friendly_fft)
+    fft_shape = _fft_grid(shape_a, tpu_friendly_fft)
     mode = _resolve_mem_mode(mem_mode, fft_shape, dual=True, device=device,
                              verbose=verbose)
 
     if mode == 2:
+        img_a_np = np.asarray(img_a, dtype=np.float32)
+        img_b_np = np.asarray(img_b, dtype=np.float32)
         from microimagelib_tpu.models.decon_streamed import (
             np_crop_center,
             np_gen_otf,
@@ -714,15 +722,15 @@ def decon_dualview(img_a, img_b, psf_a, psf_b, n_iters=10, const_initial=False,
 
     if mode == 0:
         device = jax.devices("cpu")[0]
-    if device is not None:
-        img_a, img_b, psf_a, psf_b = (
-            jax.device_put(v, device)
-            for v in (img_a_np, img_b_np, psf_a_np, psf_b_np))
-    else:
-        img_a = jnp.asarray(img_a_np)
-        img_b = jnp.asarray(img_b_np)
-        psf_a = jnp.asarray(psf_a_np)
-        psf_b = jnp.asarray(psf_b_np)
+    def _stage(v):
+        arr = v if isinstance(v, jax.Array) else np.asarray(v, np.float32)
+        return (jax.device_put(arr, device) if device is not None
+                else jnp.asarray(arr, jnp.float32))
+
+    img_a = _stage(img_a)
+    img_b = _stage(img_b)
+    psf_a = _stage(psf_a_np)
+    psf_b = _stage(psf_b_np)
     t1 = time.time()
 
     otf_a = gen_otf(psf_a, fft_shape, normalize=True)

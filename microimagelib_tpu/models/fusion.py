@@ -137,7 +137,12 @@ def fusion_dualview(img_a, img_b, psf_a, psf_b,
     t0 = _time.time()
     if records is None:
         records = np.zeros(22, dtype=np.float64)
-    a_iso, b_iso = preprocess_views(img_a, img_b, pixel_a, pixel_b, im_rotation, device, verbose)
+    # device-resident between stages; the registration/decon entries
+    # accept device arrays without host staging (streamed tiers fetch
+    # internally when taken)
+    a_iso, b_iso = preprocess_views(img_a, img_b, pixel_a, pixel_b,
+                                    im_rotation, device, verbose,
+                                    as_device=True)
 
     reg_b, out_tmx, reg_records = reg3d(
         a_iso, b_iso, reg_choice, aff_method, flag_tmx, tmx,
@@ -152,7 +157,7 @@ def fusion_dualview(img_a, img_b, psf_a, psf_b,
     records[0:11] = np.asarray(reg_records[:11], dtype=np.float64)
 
     if save_reg_callback is not None:
-        save_reg_callback(a_iso, reg_b)
+        save_reg_callback(np.asarray(a_iso), reg_b)
 
     decon_records = np.zeros(10, dtype=np.float64)
     decon = decon_dualview(
@@ -161,4 +166,4 @@ def fusion_dualview(img_a, img_b, psf_a, psf_b,
         verbose=verbose, records=decon_records)
     records[11:21] = decon_records
     records[21] = _time.time() - t0
-    return decon, out_tmx, reg_b, a_iso
+    return decon, out_tmx, reg_b, np.asarray(a_iso)
