@@ -169,6 +169,20 @@ def test_rl_fused_plan_rejects_when_vmem_tight(rng):
     bp = np.ascontiguousarray(psf[::-1, ::-1, ::-1])
     assert plan_rl_fused(psf, bp, (16, 16, 128),
                          vmem_budget=1 << 18) is None
+    # a budget that fits zb=4 but not zb=8 picks the smaller slab (and
+    # the result still matches the two-call path)
+    tight = plan_rl_fused(psf, bp, (16, 16, 128), vmem_budget=1 << 20)
+    assert tight is not None and tight.meta[0] == 4
+    est = jnp.asarray((rng.random((16, 16, 128)) * 100 + 1)
+                      .astype(np.float32))
+    img = jnp.asarray((rng.random((16, 16, 128)) * 100 + 1)
+                      .astype(np.float32))
+    pf, pb = plan_sep(psf, (16, 16, 128)), plan_sep(bp, (16, 16, 128))
+    ratio = conv3_sep(est, pf, aux=img, mode="ratio")
+    ref = np.asarray(conv3_sep(ratio, pb, aux=est, mode="update",
+                               smallvalue=0.01))
+    out = np.asarray(rl_iter_fused(est, img, tight))
+    np.testing.assert_allclose(out, ref, atol=2e-6 * np.abs(ref).max())
     # rank-4 pair still fits at this small shape
     r4 = gauss3((7, 9, 11), (1.0, 1.5, 2.0)) \
         + 0.3 * gauss3((7, 9, 11), (2.0, 1.0, 0.8))
