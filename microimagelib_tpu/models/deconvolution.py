@@ -139,7 +139,7 @@ def _sep_plans(psf, psf_bp, fft_shape, arr=None):
     ``MIL_CONV_SEP_FUSED=1`` opts into the one-call-per-iteration form
     (measured no faster than two fused conv calls on this part, but half
     the HBM traffic — see the policy comment below)."""
-    from microimagelib_tpu.ops.conv_sep import plan_sep
+    from microimagelib_tpu.ops.conv_sep import plan_sep_pair
     from microimagelib_tpu.utils.device import committed_platform
 
     mode = os.environ.get("MIL_CONV_SEP", "auto")
@@ -170,13 +170,10 @@ def _sep_plans(psf, psf_bp, fft_shape, arr=None):
         fused = plan_rl_fused(psf_np, bp_np, fft_shape, tol=tol)
         if fused is not None:
             return "fused", fused
-    fwd = plan_sep(psf_np, fft_shape, tol=tol)
-    if fwd is None:
+    pair = plan_sep_pair(psf_np, bp_np, fft_shape, tol=tol)
+    if pair is None:
         return None
-    bp = plan_sep(bp_np, fft_shape, tol=tol)
-    if bp is None:
-        return None
-    return "pair", (fwd, bp)
+    return "pair", pair
 
 
 @partial(jax.jit, static_argnames=("n_iters", "const_initial", "meta",
@@ -193,6 +190,9 @@ def _rl_single_sep_fused(img, arrs, n_iters, const_initial, meta,
         est0 = jnp.full(img.shape, jnp.sum(img), dtype=img.dtype)
     else:
         est0 = img
+    # the banded pair runs its intermediates in frame (sy, sx); the
+    # constant image is pre-rolled ONCE to meet the ratio stage there
+    img = jnp.roll(img, meta[14:16], axis=(1, 2))
 
     def body(_, est):
         return rl_iter_fused(est, img, plan, SMALLVALUE, interpret)
@@ -215,6 +215,8 @@ def _rl_dual_sep_fused(img_a, img_b, arrs_a, arrs_b, n_iters,
                         dtype=img_a.dtype)
     else:
         est0 = (img_a + img_b) * 0.5
+    img_a = jnp.roll(img_a, meta_a[14:16], axis=(1, 2))
+    img_b = jnp.roll(img_b, meta_b[14:16], axis=(1, 2))
 
     def body(_, est):
         est = rl_iter_fused(est, img_a, plan_a, SMALLVALUE, interpret)
@@ -240,6 +242,9 @@ def _rl_single_sep(img, fwd_arrs, bp_arrs, n_iters, const_initial,
         est0 = jnp.full(img.shape, jnp.sum(img), dtype=img.dtype)
     else:
         est0 = img
+    # banded-pair frame: ratio runs in frame (sy, sx); pre-roll the
+    # constant image once (the bp stage rolls back, est stays frame 0)
+    img = jnp.roll(img, fwd_meta[8:10], axis=(1, 2))
 
     def body(_, est):
         ratio = conv3_sep(est, fwd, aux=img, mode="ratio",
@@ -269,6 +274,8 @@ def _rl_dual_sep(img_a, img_b, fwd_a_arrs, bp_a_arrs, fwd_b_arrs, bp_b_arrs,
                         dtype=img_a.dtype)
     else:
         est0 = (img_a + img_b) * 0.5
+    img_a = jnp.roll(img_a, fwd_a_meta[8:10], axis=(1, 2))
+    img_b = jnp.roll(img_b, fwd_b_meta[8:10], axis=(1, 2))
 
     def half(est, img, fwd, bp):
         ratio = conv3_sep(est, fwd, aux=img, mode="ratio",
@@ -439,7 +446,7 @@ def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
             # mixed fused/pair (e.g. one view's rank blows the fused VMEM
             # budget): coerce to pairs — a fused plan implies both stage
             # plans exist
-            from microimagelib_tpu.ops.conv_sep import plan_sep
+            from microimagelib_tpu.ops.conv_sep import plan_sep_pair
 
             tol = float(os.environ.get("MIL_CONV_SEP_TOL", "1e-6"))
             shape = tuple(img_a.shape)
@@ -447,8 +454,7 @@ def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
             def as_pair(route, p_np, b_np):
                 if route[0] == "pair":
                     return route[1]
-                return (plan_sep(p_np, shape, tol=tol),
-                        plan_sep(b_np, shape, tol=tol))
+                return plan_sep_pair(p_np, b_np, shape, tol=tol)
 
             fa, ba = as_pair(route_a, pa, bpa)
             fb, bb = as_pair(route_b, pb, bpb)

@@ -50,20 +50,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 from microimagelib_tpu.ops.fft_pallas import _dot3_cl, _dot3_cr, _hi_lo
 
-__all__ = ["plan_sep", "conv3_sep", "SepPlan", "sep_grid_supported",
-           "plan_rl_fused", "rl_iter_fused", "RLFusedPlan"]
+__all__ = ["plan_sep", "plan_sep_pair", "conv3_sep", "SepPlan",
+           "sep_grid_supported", "plan_rl_fused", "rl_iter_fused",
+           "RLFusedPlan"]
 
 _VMEM_LIMIT = 100 * 1024 * 1024
+_T = 128  # lane tile for the banded xy circulant blocks
 
 
 class SepPlan(NamedTuple):
     """Planned separable convolution. ``meta`` = (zb, a, b, rank, nsteps,
-    g) is static; the arrays are device constants."""
+    g, bx, by, sy, sx) is static; the arrays are device constants.
 
-    cxh: jax.Array   # (R, nx, nx) bf16 circulant hi
-    cxl: jax.Array   # (R, nx, nx) bf16 circulant lo
-    cyh: jax.Array   # (R, ny, ny) bf16
-    cyl: jax.Array   # (R, ny, ny) bf16
+    The xy circulants come in two layouts, chosen per axis:
+
+      * dense — cx* (R, nx, nx), cy* (R, ny, ny); bx/by is None;
+      * banded — the kernel band is compact, so each 128-lane output
+        tile only reads a 2-tile input window: cx* (R, nx/128, 256, 128)
+        right-multiply blocks, cy* (R, ny/128, 128, 256) left-multiply
+        blocks; bx/by is the window's tile offset (-1 causal / 0
+        anticausal). This halves the MXU work of the dominant xy matmuls
+        once nx (ny) reaches 512.
+
+    ``sy, sx``: the plan's frame shift sigma per axis — it maps an input
+    in frame f to an output in frame f + sigma (frame = volume rolled by
+    that many voxels along the axis). RL pairs from :func:`plan_sep_pair`
+    use +s on the forward and -s on the back projector so the roll
+    cancels over one iteration (the constant image is pre-rolled once);
+    standalone plans have sigma 0."""
+
+    cxh: jax.Array
+    cxl: jax.Array
+    cyh: jax.Array
+    cyl: jax.Array
     tz: jax.Array    # (R, nsteps) f32 reversed z taps (SMEM)
     meta: tuple
 
@@ -129,10 +148,64 @@ def _circulant(taps, offs, n):
     return c
 
 
-def plan_sep(psf, shape, zb=8, tol=1e-6, max_rank=4, vmem_budget=None):
+def _band_t0(offs_eff, n):
+    """Tile offset t0 of the 2-tile window that covers a circulant with
+    effective displacements ``offs_eff`` on axis length ``n``, or None
+    when the axis must stay dense (too short, unaligned, or the band
+    does not fit an aligned 256-lane window)."""
+    if n % _T != 0 or n < 2 * _T or len(offs_eff) == 0:
+        return None
+    d_min, d_max = int(min(offs_eff)), int(max(offs_eff))
+    if 0 <= d_min and d_max <= _T:
+        return -1
+    if -_T <= d_min and d_max <= 0:
+        return 0
+    return None
+
+
+def _banded_blocks(c_eff, t0, left):
+    """Slice the (n, n) effective circulant into per-output-tile 2-tile
+    window blocks. ``left=False``: right-multiply x blocks (nt, 256,
+    128) with B[j][r, c] = C[((j+t0)*128+r) % n, j*128+c]. ``left=True``:
+    left-multiply y blocks (nt, 128, 256), D[i][c, r] = that same slice
+    transposed per block (out index on rows, window index on columns)."""
+    n = c_eff.shape[0]
+    nt = n // _T
+    rows = (np.arange(2 * _T)[None, :] + (np.arange(nt)[:, None] + t0) * _T) % n
+    cols = np.arange(nt)[:, None] * _T + np.arange(_T)[None, :]
+    blocks = c_eff[rows[:, :, None], cols[:, None, :]]   # (nt, 256, 128)
+    return blocks.transpose(0, 2, 1) if left else blocks
+
+
+def _crop_offsets(pshape, shape):
+    """Per-axis (slice, displacement array) of a PSF of box ``pshape`` on
+    grid ``shape``: identity when the PSF fits, else genOTF's
+    alignsize-crop re-centering (models/deconvolution._gen_otf;
+    reference:src/api_subfunc.cu:3269-3307)."""
+    if any(p > f for p, f in zip(pshape, shape)):
+        sls, offsets = [], []
+        for p, f in zip(pshape, shape):
+            so = (f - p) // 2
+            o_lo = max(so, 0)
+            i_lo = o_lo - so
+            n = min(p - i_lo, f - o_lo)
+            sls.append(slice(i_lo, i_lo + n))
+            offsets.append(o_lo - f // 2 + np.arange(n))
+        return tuple(sls), offsets
+    return (tuple(slice(None) for _ in pshape),
+            [np.arange(p) - p // 2 for p in pshape])
+
+
+def plan_sep(psf, shape, zb=8, tol=1e-6, max_rank=4, vmem_budget=None,
+             sigma=(0, 0)):
     """Plan the separable conv of a compact PSF on grid ``shape``
     (z, y, x). Returns a :class:`SepPlan` or None when the kernel/grid
-    does not qualify. The PSF is sum-normalized like ``gen_otf``."""
+    does not qualify. The PSF is sum-normalized like ``gen_otf``.
+
+    ``sigma`` = (sy, sx) frame shift: the planned conv maps an input
+    rolled by f to an output rolled by f + sigma along that axis (see
+    :class:`SepPlan`); each axis goes banded when its shifted band fits
+    an aligned 2-tile window, else dense (correct for any sigma)."""
     nz, ny, nx = shape
     psf = np.asarray(psf, np.float64)
     if psf.ndim != 3 or not sep_grid_supported(shape, zb):
@@ -142,25 +215,14 @@ def plan_sep(psf, shape, zb=8, tol=1e-6, max_rank=4, vmem_budget=None):
         return None
     psf = psf / tot
 
-    if any(p > f for p, f in zip(psf.shape, shape)):
-        # genOTF's oversized-PSF path center-crops to the FFT grid with
-        # alignsize offsets and re-centers at grid//2 — which shifts
-        # odd-size axes by the (f-p)//2 truncation (models/deconvolution
-        # ._gen_otf; reference:src/api_subfunc.cu:3269-3307 + alignsize
-        # launcher :1779-1787). Mirror it: tap t of axis (p -> f) sits at
-        # grid index o_lo + (t - i_lo), displacement = that - f//2.
-        sls, offsets = [], []
-        for p, f in zip(psf.shape, shape):
-            so = (f - p) // 2
-            o_lo = max(so, 0)
-            i_lo = o_lo - so
-            n = min(p - i_lo, f - o_lo)
-            sls.append(slice(i_lo, i_lo + n))
-            offsets.append(o_lo - f // 2 + np.arange(n))
-        psf = psf[tuple(sls)]
-        offz, offy, offx = offsets
-    else:
-        offz, offy, offx = (np.arange(p) - p // 2 for p in psf.shape)
+    # genOTF's oversized-PSF path center-crops to the FFT grid with
+    # alignsize offsets and re-centers at grid//2 — which shifts
+    # odd-size axes by the (f-p)//2 truncation (models/deconvolution
+    # ._gen_otf; reference:src/api_subfunc.cu:3269-3307 + alignsize
+    # launcher :1779-1787). Mirror it: tap t of axis (p -> f) sits at
+    # grid index o_lo + (t - i_lo), displacement = that - f//2.
+    sls, (offz, offy, offx) = _crop_offsets(psf.shape, shape)
+    psf = psf[sls]
 
     # compact z support (absolute indices) around the center convention
     mz = np.abs(psf).sum(axis=(1, 2))
@@ -185,40 +247,119 @@ def plan_sep(psf, shape, zb=8, tol=1e-6, max_rank=4, vmem_budget=None):
     if need > budget * 0.9:
         return None
 
-    cxh = np.empty((rank, nx, nx), np.float32)
-    cxl = np.empty_like(cxh)
-    cyh = np.empty((rank, ny, ny), np.float32)
-    cyl = np.empty_like(cyh)
+    sy, sx = int(sigma[0]), int(sigma[1])
+    bx = _band_t0(offx + sx, nx)
+    by = _band_t0(offy + sy, ny)
+
+    def build(taps, offs, s, n, t0, left):
+        c = _circulant(taps, offs + s, n)
+        if t0 is None:
+            # the y pass is a LEFT multiply (Cy @ rows), so transpose the
+            # source-major circulant; asymmetric (even-size) kernels care
+            return _hi_lo(c.T if left else c)
+        return _hi_lo(_banded_blocks(c, t0, left))
+
+    cx = [build(kx, offx, sx, nx, bx, False) for _kz, _ky, kx in terms]
+    cy = [build(ky, offy, sy, ny, by, True) for _kz, ky, _kx in terms]
     tz = np.zeros((rank, nsteps), np.float32)
-    for r, (kz, ky, kx) in enumerate(terms):
-        h, l = _hi_lo(_circulant(kx, offx, nx))
-        cxh[r], cxl[r] = np.asarray(h, np.float32), np.asarray(l, np.float32)
-        # the y pass is a LEFT multiply (Cy @ rows), so transpose the
-        # source-major circulant; asymmetric (even-size) kernels care
-        h, l = _hi_lo(_circulant(ky, offy, ny).T)
-        cyh[r], cyl[r] = np.asarray(h, np.float32), np.asarray(l, np.float32)
+    for r, (kz, _ky, _kx) in enumerate(terms):
         # out[q] = sum_s tz[s] * asm[q + s] with asm row q+s = xy row
         # (w - a + s): s = a - d  ->  tz[s] = kz at d = a - s
         for idx in range(zlo, zhi):
             d = int(offz[idx])
             tz[r, a - d] += kz[idx - zlo]
 
-    meta = (zb, a, b, rank, nsteps, nz // zb)
+    meta = (zb, a, b, rank, nsteps, nz // zb, bx, by, sy, sx)
     return SepPlan(
-        jnp.asarray(cxh.astype(jnp.bfloat16)),
-        jnp.asarray(cxl.astype(jnp.bfloat16)),
-        jnp.asarray(cyh.astype(jnp.bfloat16)),
-        jnp.asarray(cyl.astype(jnp.bfloat16)),
+        jnp.asarray(np.stack([h for h, _ in cx])),
+        jnp.asarray(np.stack([l for _, l in cx])),
+        jnp.asarray(np.stack([h for h, _ in cy])),
+        jnp.asarray(np.stack([l for _, l in cy])),
         jnp.asarray(tz), meta)
+
+
+def plan_sep_pair(psf, psf_bp, shape, zb=8, tol=1e-6, max_rank=4,
+                  vmem_budget=None):
+    """Plan the RL projector PAIR with per-axis frame shifts chosen so
+    BOTH stages run banded: the forward conv gets sigma = +s (its
+    shifted band is causal, window tiles [j-1, j]) and the back
+    projector sigma = -s (anticausal, window [j, j+1]), with
+    s = max(a_fwd, b_bp) per axis so the round trip returns to frame 0 —
+    only the constant image needs one pre-roll by (sy, sx).
+
+    Returns (fwd_plan, bp_plan) or None when either stage fails
+    :func:`plan_sep`."""
+    nz, ny, nx = shape
+
+    def bands(p):
+        sls, offs = _crop_offsets(np.shape(p), shape)
+        return [(max(-int(o.min()), 0), max(int(o.max()), 0))
+                if o.size else (0, 0) for o in offs]
+
+    (_, _), (ay1, by1), (ax1, bx1) = bands(psf)
+    (_, _), (ay2, by2), (ax2, bx2) = bands(psf_bp)
+
+    def pick(a1, b1, a2, b2, n):
+        s = max(a1, b2)
+        if n % _T == 0 and n >= 2 * _T and s + max(b1, a2) <= _T:
+            return s
+        return 0
+
+    sx = pick(ax1, bx1, ax2, bx2, nx)
+    sy = pick(ay1, by1, ay2, by2, ny)
+    fwd = plan_sep(psf, shape, zb=zb, tol=tol, max_rank=max_rank,
+                   vmem_budget=vmem_budget, sigma=(sy, sx))
+    if fwd is None:
+        return None
+    bp = plan_sep(psf_bp, shape, zb=zb, tol=tol, max_rank=max_rank,
+                  vmem_budget=vmem_budget, sigma=(-sy, -sx))
+    if bp is None:
+        return None
+    return fwd, bp
 
 
 # --------------------------------------------------------------------------
 # kernel
 # --------------------------------------------------------------------------
 
+def _win2(m, lo_tile, nt, axis):
+    """2-tile (256-wide) window starting at tile ``lo_tile`` (mod nt)
+    along ``axis`` of value ``m``; wraps circularly at the edges."""
+    lo = lo_tile % nt
+    sl = [slice(None)] * m.ndim
+    if lo + 1 < nt:
+        sl[axis] = slice(lo * _T, (lo + 2) * _T)
+        return m[tuple(sl)]
+    parts = []
+    for tt in (lo, (lo + 1) % nt):
+        sl[axis] = slice(tt * _T, (tt + 1) * _T)
+        parts.append(m[tuple(sl)])
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _xy_conv(row, r, cxh_ref, cxl_ref, cyh_ref, cyl_ref, bx, by):
+    """One z-row's separable xy pass for rank term ``r``: x as a
+    right-multiply circulant, y as a left-multiply — each either dense
+    or banded (2-tile window blocks, tile offset bx/by)."""
+    ny, nx = row.shape
+    if bx is None:
+        t = _dot3_cr(row, cxh_ref[r], cxl_ref[r])
+    else:
+        nt = nx // _T
+        t = jnp.concatenate(
+            [_dot3_cr(_win2(row, j + bx, nt, 1), cxh_ref[r, j],
+                      cxl_ref[r, j]) for j in range(nt)], axis=1)
+    if by is None:
+        return _dot3_cl(cyh_ref[r], cyl_ref[r], t)
+    nt = ny // _T
+    return jnp.concatenate(
+        [_dot3_cl(cyh_ref[r, i], cyl_ref[r, i], _win2(t, i + by, nt, 0))
+         for i in range(nt)], axis=0)
+
+
 def _kernel(v_ref, aux_ref, cxh_ref, cxl_ref, cyh_ref, cyl_ref, tz_ref,
             o_ref, cur_ref, prev_ref, tail_ref, *,
-            zb, a, b, rank, nsteps, mode, smallvalue):
+            zb, a, b, rank, nsteps, bx, by, mode, smallvalue):
     i = pl.program_id(0)
 
     for r in range(rank):
@@ -226,8 +367,8 @@ def _kernel(v_ref, aux_ref, cxh_ref, cxl_ref, cyh_ref, cyl_ref, tz_ref,
         # (zb*ny, nx) x-pass (24.7 vs 23.3 ms/iter at 512^3) — the
         # reshape materializes and breaks x/y pass interleaving
         for dz in range(zb):
-            t = _dot3_cr(v_ref[dz], cxh_ref[r], cxl_ref[r])
-            cur_ref[r, dz] = _dot3_cl(cyh_ref[r], cyl_ref[r], t)
+            cur_ref[r, dz] = _xy_conv(v_ref[dz], r, cxh_ref, cxl_ref,
+                                      cyh_ref, cyl_ref, bx, by)
 
     @pl.when(i >= 2)
     def _emit():
@@ -256,7 +397,7 @@ def _kernel(v_ref, aux_ref, cxh_ref, cxl_ref, cyh_ref, cyl_ref, tz_ref,
 def _conv3_sep(v, aux, cxh, cxl, cyh, cyl, tz, meta, mode, smallvalue,
                interpret):
     nz, ny, nx = v.shape
-    zb, a, b, rank, nsteps, g = meta
+    zb, a, b, rank, nsteps, g, bx, by = meta[:8]
     in_spec = pl.BlockSpec((zb, ny, nx), lambda i: ((i + g - 1) % g, 0, 0),
                            memory_space=pltpu.VMEM)
     out_map = lambda i: (jnp.maximum(i - 2, 0), 0, 0)  # noqa: E731
@@ -268,7 +409,7 @@ def _conv3_sep(v, aux, cxh, cxl, cyh, cyl, tz, meta, mode, smallvalue,
 
     return pl.pallas_call(
         partial(_kernel, zb=zb, a=a, b=b, rank=rank, nsteps=nsteps,
-                mode=mode, smallvalue=smallvalue),
+                bx=bx, by=by, mode=mode, smallvalue=smallvalue),
         grid=(g + 2,),
         in_specs=[in_spec, aux_spec,
                   const_spec(cxh), const_spec(cxl),
@@ -290,8 +431,10 @@ def _conv3_sep(v, aux, cxh, cxl, cyh, cyl, tz, meta, mode, smallvalue,
 
 class RLFusedPlan(NamedTuple):
     """Both RL projector stages planned for ONE fused kernel per
-    iteration. ``meta`` = (zb, a1, b1, rank1, n1, a2, b2, rank2, n2, g)
-    static; arrays are device constants (fwd stage then bp stage)."""
+    iteration. ``meta`` = (zb, a1, b1, rank1, n1, a2, b2, rank2, n2, g,
+    bx1, by1, bx2, by2, sy, sx) static; arrays are device constants (fwd
+    stage then bp stage). b*/s* as in :class:`SepPlan` — the image must
+    be pre-rolled by (sy, sx); est stays in frame 0."""
 
     c1xh: jax.Array
     c1xl: jax.Array
@@ -320,14 +463,13 @@ def plan_rl_fused(psf, psf_bp, shape, tol=1e-6, max_rank=4,
     for zb in (8, 4):
         if not sep_grid_supported(shape, zb):
             continue
-        pf = plan_sep(psf, shape, zb=zb, tol=tol, max_rank=max_rank,
-                      vmem_budget=budget)
-        pb = (plan_sep(psf_bp, shape, zb=zb, tol=tol, max_rank=max_rank,
-                       vmem_budget=budget) if pf is not None else None)
-        if pb is None:
+        pair = plan_sep_pair(psf, psf_bp, shape, zb=zb, tol=tol,
+                             max_rank=max_rank, vmem_budget=budget)
+        if pair is None:
             continue
-        _, a1, b1, r1, n1, g = pf.meta
-        _, a2, b2, r2, n2, _ = pb.meta
+        pf, pb = pair
+        _, a1, b1, r1, n1, g, bx1, by1, sy, sx = pf.meta
+        _, a2, b2, r2, n2, _, bx2, by2, _, _ = pb.meta
         # est/img/out pipelines (2 blocks each) + est ring (2) + both
         # stages' rolling buffers + assembly/acc/ratio temporaries
         need = row * (8 * zb
@@ -338,7 +480,8 @@ def plan_rl_fused(psf, psf_bp, shape, tol=1e-6, max_rank=4,
             continue
         return RLFusedPlan(pf.cxh, pf.cxl, pf.cyh, pf.cyl, pf.tz,
                            pb.cxh, pb.cxl, pb.cyh, pb.cyl, pb.tz,
-                           (zb, a1, b1, r1, n1, a2, b2, r2, n2, g))
+                           (zb, a1, b1, r1, n1, a2, b2, r2, n2, g,
+                            bx1, by1, bx2, by2, sy, sx))
     return None
 
 
@@ -360,14 +503,15 @@ def _zconv_emit(cur, prev, tail, tz_ref, r, a, b, zb, nsteps, shape):
 def _rl_kernel(v_ref, img_ref, c1xh, c1xl, c1yh, c1yl, tz1,
                c2xh, c2xl, c2yh, c2yl, tz2, o_ref,
                cur1, prev1, tail1, cur2, prev2, tail2, keep, *,
-               zb, a1, b1, r1, n1, a2, b2, r2, n2, smallvalue):
+               zb, a1, b1, r1, n1, a2, b2, r2, n2, bx1, by1, bx2, by2,
+               smallvalue):
     i = pl.program_id(0)
     pshape = v_ref.shape[1:]
 
     for r in range(r1):
         for dz in range(zb):
-            t = _dot3_cr(v_ref[dz], c1xh[r], c1xl[r])
-            cur1[r, dz] = _dot3_cl(c1yh[r], c1yl[r], t)
+            cur1[r, dz] = _xy_conv(v_ref[dz], r, c1xh, c1xl, c1yh, c1yl,
+                                   bx1, by1)
 
     @pl.when(i >= 2)
     def _ratio_stage():
@@ -378,8 +522,8 @@ def _rl_kernel(v_ref, img_ref, c1xh, c1xl, c1yh, c1yl, tz1,
         ratio = img_ref[...] / fwd
         for r in range(r2):
             for dz in range(zb):
-                t = _dot3_cr(ratio[dz], c2xh[r], c2xl[r])
-                cur2[r, dz] = _dot3_cl(c2yh[r], c2yl[r], t)
+                cur2[r, dz] = _xy_conv(ratio[dz], r, c2xh, c2xl, c2yh,
+                                       c2yl, bx2, by2)
 
     @pl.when(i >= 4)
     def _update_stage():
@@ -410,7 +554,7 @@ def _rl_iter_fused(est, img, c1xh, c1xl, c1yh, c1yl, tz1,
                    c2xh, c2xl, c2yh, c2yl, tz2, meta, smallvalue,
                    interpret):
     nz, ny, nx = est.shape
-    zb, a1, b1, r1, n1, a2, b2, r2, n2, g = meta
+    zb, a1, b1, r1, n1, a2, b2, r2, n2, g, bx1, by1, bx2, by2 = meta[:14]
     est_spec = pl.BlockSpec((zb, ny, nx),
                             lambda i: ((i + g - 2) % g, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -425,7 +569,8 @@ def _rl_iter_fused(est, img, c1xh, c1xl, c1yh, c1yl, tz1,
 
     return pl.pallas_call(
         partial(_rl_kernel, zb=zb, a1=a1, b1=b1, r1=r1, n1=n1, a2=a2,
-                b2=b2, r2=r2, n2=n2, smallvalue=smallvalue),
+                b2=b2, r2=r2, n2=n2, bx1=bx1, by1=by1, bx2=bx2, by2=by2,
+                smallvalue=smallvalue),
         grid=(g + 4,),
         in_specs=[est_spec, img_spec,
                   const_spec(c1xh), const_spec(c1xl),

@@ -20,6 +20,7 @@ from microimagelib_tpu.ops.conv_sep import (
     conv3_sep,
     plan_rl_fused,
     plan_sep,
+    plan_sep_pair,
     rl_iter_fused,
 )
 
@@ -188,6 +189,71 @@ def test_rl_fused_plan_rejects_when_vmem_tight(rng):
         + 0.3 * gauss3((7, 9, 11), (2.0, 1.0, 0.8))
     assert plan_rl_fused(r4, np.ascontiguousarray(r4[::-1, ::-1, ::-1]),
                          (16, 16, 128)) is not None
+
+
+BANDED_SHAPE = (8, 256, 256)
+
+
+def _asym_psf(rng):
+    """Asymmetric even/odd box, rank <= 2 — exercises a != b bands and
+    the wrap window tiles on both axes."""
+    def r1():
+        return np.einsum("i,j,k->ijk", rng.random(5), rng.random(8),
+                         rng.random(6))
+    p = (r1() + 0.3 * r1()).astype(np.float32)
+    return p / p.sum()
+
+
+def test_banded_pair_plan_layout(rng):
+    """plan_sep_pair picks banded xy layouts with opposite frame shifts:
+    fwd blocks are causal windows (t0 = -1), bp anticausal (t0 = 0), and
+    sigma_bp = -sigma_fwd so one RL iteration returns to frame 0."""
+    psf = _asym_psf(rng)
+    bp = np.ascontiguousarray(psf[::-1, ::-1, ::-1])
+    fwd, bpp = plan_sep_pair(psf, bp, BANDED_SHAPE)
+    _, _, _, rank, _, _, bx, by, sy, sx = fwd.meta
+    assert (bx, by) == (-1, -1) and sx > 0 and sy > 0
+    assert fwd.cxh.shape == (rank, 2, 256, 128)
+    assert fwd.cyh.shape == (rank, 2, 128, 256)
+    _, _, _, _, _, _, bx2, by2, sy2, sx2 = bpp.meta
+    assert (bx2, by2) == (0, 0) and (sy2, sx2) == (-sy, -sx)
+    # standalone plans stay dense (sigma 0 cannot band a centered PSF)
+    solo = plan_sep(psf, BANDED_SHAPE)
+    assert solo.meta[6:] == (None, None, 0, 0)
+    assert solo.cxh.shape == (solo.meta[3], 256, 256)
+
+
+def test_banded_pair_conv_exact(rng):
+    """Each banded stage matches the FFT conv in its planned frame: the
+    fwd output is the conv rolled by (sy, sx); the bp stage consumes a
+    rolled input and lands back in frame 0."""
+    psf = _asym_psf(rng)
+    bp = np.ascontiguousarray(psf[::-1, ::-1, ::-1])
+    fwd, bpp = plan_sep_pair(psf, bp, BANDED_SHAPE)
+    sy, sx = fwd.meta[8:10]
+    v = (rng.random(BANDED_SHAPE) * 100).astype(np.float32)
+    ref = fft_conv(v, psf, BANDED_SHAPE)
+    out = np.asarray(conv3_sep(jnp.asarray(v), fwd))
+    np.testing.assert_allclose(out, np.roll(ref, (sy, sx), axis=(1, 2)),
+                               atol=2e-5 * np.abs(ref).max())
+    ref2 = fft_conv(v, bp, BANDED_SHAPE)
+    vin = jnp.roll(jnp.asarray(v), (sy, sx), axis=(1, 2))
+    out2 = np.asarray(conv3_sep(vin, bpp))
+    np.testing.assert_allclose(out2, ref2, atol=2e-5 * np.abs(ref2).max())
+
+
+@pytest.mark.parametrize("fused", ["0", "1"])
+def test_rl_banded_matches_fft(rng, monkeypatch, fused):
+    """End-to-end RL on a banded-qualifying grid (the production 512^3
+    configuration in miniature) vs the FFT-path oracle."""
+    img = (rng.random(BANDED_SHAPE) * 100 + 1).astype(np.float32)
+    psf = _asym_psf(rng)
+    ref = _rl_ref(img, psf, psf[::-1, ::-1, ::-1], 4)
+    monkeypatch.setenv("MIL_CONV_SEP", "1")
+    monkeypatch.setenv("MIL_CONV_SEP_FUSED", fused)
+    out = np.asarray(rl_decon_single(jnp.asarray(img), None, None, 4,
+                                     psf=psf))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4 * ref.max())
 
 
 def test_sep_auto_threshold(monkeypatch):
