@@ -242,6 +242,26 @@ def test_banded_pair_conv_exact(rng):
     np.testing.assert_allclose(out2, ref2, atol=2e-5 * np.abs(ref2).max())
 
 
+def test_banded_mixed_axis(rng):
+    """ny unaligned to 128 keeps y dense while x bands — a pair plan may
+    mix layouts per axis and stays exact (sy = 0 on the dense-only-
+    because-unaligned axis still allows the x frame shift)."""
+    shape = (8, 96, 256)
+    psf = _asym_psf(rng)
+    bp = np.ascontiguousarray(psf[::-1, ::-1, ::-1])
+    fwd, bpp = plan_sep_pair(psf, bp, shape)
+    assert fwd.meta[6] == -1 and fwd.meta[7] is None and fwd.meta[8] == 0
+    sy, sx = fwd.meta[8:10]
+    v = (rng.random(shape) * 100).astype(np.float32)
+    ref = fft_conv(v, psf, shape)
+    out = np.asarray(conv3_sep(jnp.asarray(v), fwd))
+    np.testing.assert_allclose(out, np.roll(ref, sx, axis=2),
+                               atol=2e-5 * np.abs(ref).max())
+    ref2 = fft_conv(v, bp, shape)
+    out2 = np.asarray(conv3_sep(jnp.roll(jnp.asarray(v), sx, axis=2), bpp))
+    np.testing.assert_allclose(out2, ref2, atol=2e-5 * np.abs(ref2).max())
+
+
 @pytest.mark.parametrize("fused", ["0", "1"])
 def test_rl_banded_matches_fft(rng, monkeypatch, fused):
     """End-to-end RL on a banded-qualifying grid (the production 512^3
