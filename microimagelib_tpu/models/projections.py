@@ -167,40 +167,57 @@ def _factored_tables(mats, zo, na, nb, po, chunk, r_axis):
     return jax.lax.map(one, mats)
 
 
-@partial(jax.jit, static_argnames=("r_axis", "prec"))
-def _factored_contract(img, was, wbs, r_axis, prec):
+@partial(jax.jit, static_argnames=("r_axis", "prec", "fgroup"))
+def _factored_contract(img, was, wbs, r_axis, prec, fgroup=1):
     """Contract the per-frame tap tables against the volume, folding the
     z'-MIP across a lax.scan over z' chunks (intermediate bounded to
-    rows*na*chunk*po)."""
+    fgroup*rows*na*chunk*po).
+
+    ``fgroup`` frames ride INSIDE each einsum: the scan's sequential op
+    count drops by that factor — on the tunneled TPU each sequential
+    sizeable op costs ~0.5-1.3 ms of fixed issue time (BASELINE.md
+    machine model), which dominates this contraction at batch-class
+    shapes — while the MXU work is unchanged."""
     if r_axis == 2:
         src3 = img.transpose(1, 0, 2)       # (r=y, a=z, b=x)
     else:
         src3 = img.transpose(2, 0, 1)       # (r=x, a=z, b=y)
     rows, po = src3.shape[0], was.shape[-1]
+    n = was.shape[0]
+    gpad = -(-n // fgroup) * fgroup
+    if gpad != n:
+        was = jnp.pad(was, ((0, gpad - n),) + ((0, 0),) * (was.ndim - 1))
+        wbs = jnp.pad(wbs, ((0, gpad - n),) + ((0, 0),) * (wbs.ndim - 1))
+    wag = was.reshape((gpad // fgroup, fgroup) + was.shape[1:])
+    wbg = wbs.reshape((gpad // fgroup, fgroup) + wbs.shape[1:])
 
-    def one(ws):
-        wa, wb = ws
+    def group(ws):
+        wa, wb = ws                          # (fgroup, zc, chunk, n_ax, po)
 
         def body(carry, wc):
-            wa_c, wb_c = wc
-            u = jnp.einsum("rab,cbq->racq", src3, wb_c, precision=prec)
-            out_c = jnp.einsum("racq,caq->rcq", u, wa_c, precision=prec)
-            return jnp.maximum(carry, out_c.max(axis=1)), None
+            wa_c, wb_c = wc                  # (fgroup, chunk, n_ax, po)
+            u = jnp.einsum("rab,fcbq->fracq", src3, wb_c, precision=prec)
+            out_c = jnp.einsum("fracq,fcaq->frcq", u, wa_c, precision=prec)
+            return jnp.maximum(carry, out_c.max(axis=2)), None
 
-        frame0 = jnp.full((rows, po), -jnp.inf, jnp.float32)
-        frame, _ = jax.lax.scan(body, frame0, (wa, wb))
-        frame = jnp.maximum(frame, 0)
+        frame0 = jnp.full((fgroup, rows, po), -jnp.inf, jnp.float32)
+        frames, _ = jax.lax.scan(body, frame0,
+                                 (wa.transpose(1, 0, 2, 3, 4),
+                                  wb.transpose(1, 0, 2, 3, 4)))
+        frames = jnp.maximum(frames, 0)
         if r_axis == 1:
-            frame = frame.T
-        return frame
+            frames = frames.transpose(0, 2, 1)
+        return frames
 
-    return jax.lax.map(one, (was, wbs))
+    out = jax.lax.map(group, (wag, wbg))
+    return out.reshape((gpad,) + out.shape[2:])[:n]
 
 
 _FACTORED_TABLE_CACHE = {}
 
 
-def _rotate_and_mip_all_factored(img, mats, out_shape, r_axis, chunk, prec):
+def _rotate_and_mip_all_factored(img, mats, out_shape, r_axis, chunk, prec,
+                                 fgroup=1):
     """Factored Wa(.)Wb form of the matmul MIP for fusion-class shapes,
     where the dense one-hot W would be O(s*p) to build (round-2
     measurement: 987 ms/36 frames at the fusion iso shape, scatter/
@@ -240,7 +257,7 @@ def _rotate_and_mip_all_factored(img, mats, out_shape, r_axis, chunk, prec):
                 _FACTORED_TABLE_CACHE[key] = (was, wbs)
     else:
         was, wbs = hit
-    return _factored_contract(img, was, wbs, r_axis, prec)
+    return _factored_contract(img, was, wbs, r_axis, prec, fgroup)
 
 
 def mip3d(img, r_axis, project_num=36):
@@ -321,7 +338,13 @@ def mip3d(img, r_axis, project_num=36):
         rows = sy if r_axis == 2 else sx
         na = sz
         per_z = rows * na * po * 4
-        chunk = max(1, min(32, int(max(cap, 1 << 28) // 4 // max(per_z, 1))))
+        budget = int(max(cap, 1 << 28) // 4 // max(per_z, 1))
+        # sequential-op count scales with 1/(fgroup*chunk) (the per-op
+        # issue floor dominates at batch-class shapes); frames batch
+        # first, leftover budget widens the z' chunk
+        fgroup = max(1, min(int(mats.shape[0]), budget,
+                            int(os.environ.get("MIL_MIP_FGROUP", "36"))))
+        chunk = max(1, min(32, budget // fgroup))
         # bf16x3 ('high') matmuls: ~3e-6 relative error on the 2-4-term
         # bilinear sums — far below the reference's 8-bit-fraction CUDA
         # texture weights — for ~2x the MXU rate at these class sizes
@@ -329,7 +352,7 @@ def mip3d(img, r_axis, project_num=36):
                 "highest": jax.lax.Precision.HIGHEST}[
                     os.environ.get("MIL_MIP_PRECISION", "high")]
         frames = _rotate_and_mip_all_factored(
-            img, jnp.asarray(mats), out_shape, r_axis, chunk, prec)
+            img, jnp.asarray(mats), out_shape, r_axis, chunk, prec, fgroup)
     elif impl == "matmul" and passthrough:
         frames = _rotate_and_mip_all_matmul(img, jnp.asarray(mats),
                                             out_shape, r_axis)

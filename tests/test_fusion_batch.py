@@ -94,10 +94,18 @@ def test_mip3d_impls_agree(rng, monkeypatch):
         for impl in ("gather", "matmul", "factored"):
             monkeypatch.setenv("MIL_MIP_IMPL", impl)
             outs[impl] = mip3d(vol, r_axis, project_num=7)
+        # frame grouping that does NOT divide the frame count exercises
+        # the padded tail group
+        monkeypatch.setenv("MIL_MIP_IMPL", "factored")
+        monkeypatch.setenv("MIL_MIP_FGROUP", "5")
+        outs["factored5"] = mip3d(vol, r_axis, project_num=7)
+        monkeypatch.delenv("MIL_MIP_FGROUP")
         scale = np.abs(outs["gather"]).max()
         np.testing.assert_allclose(outs["matmul"], outs["gather"],
                                    atol=1e-5 * scale)
         np.testing.assert_allclose(outs["factored"], outs["gather"],
+                                   atol=1e-5 * scale)
+        np.testing.assert_allclose(outs["factored5"], outs["gather"],
                                    atol=1e-5 * scale)
 
 
