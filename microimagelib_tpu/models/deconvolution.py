@@ -454,15 +454,26 @@ def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
             def as_pair(route, p_np, b_np):
                 if route[0] == "pair":
                     return route[1]
-                return plan_sep_pair(p_np, b_np, shape, tol=tol)
+                # a fused plan may exist only at zb=4 (nz % 8 != 0);
+                # mirror its zb fallback rather than assume zb=8 plans
+                for zb in (8, 4):
+                    pair = plan_sep_pair(p_np, b_np, shape, zb=zb, tol=tol)
+                    if pair is not None:
+                        return pair
+                return None
 
-            fa, ba = as_pair(route_a, pa, bpa)
-            fb, bb = as_pair(route_b, pb, bpb)
-            return _rl_dual_sep(img_a, img_b, tuple(fa[:5]),
-                                tuple(ba[:5]), tuple(fb[:5]),
-                                tuple(bb[:5]), n_iters, const_initial,
-                                fa.meta, ba.meta, fb.meta, bb.meta,
-                                interp)
+            pair_a = as_pair(route_a, pa, bpa)
+            pair_b = as_pair(route_b, pb, bpb) if pair_a is not None else None
+            if pair_b is not None:
+                fa, ba = pair_a
+                fb, bb = pair_b
+                return _rl_dual_sep(img_a, img_b, tuple(fa[:5]),
+                                    tuple(ba[:5]), tuple(fb[:5]),
+                                    tuple(bb[:5]), n_iters, const_initial,
+                                    fa.meta, ba.meta, fb.meta, bb.meta,
+                                    interp)
+            # pairing impossible for one view: fall through to the FFT
+            # loop (OTFs built below when not supplied)
         if otf_a is None:
             # sep route refused; build the OTFs from the PSFs instead of
             # crashing on None
