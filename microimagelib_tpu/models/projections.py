@@ -21,6 +21,22 @@ from microimagelib_tpu.ops.basics import max_projection
 from microimagelib_tpu.ops.matrix import rot_to_matrix
 
 
+@partial(jax.jit, static_argnames=("z_proj", "x_proj", "y_proj"))
+def _mp2d_flat(img, z_proj, x_proj, y_proj):
+    """Requested panels raveled into ONE device buffer — a single host
+    fetch instead of one sync per panel (each round trip costs
+    ~0.1-0.2 s on the tunneled TPU; the batch driver emits 2D MPs every
+    timepoint)."""
+    parts = []
+    if z_proj:
+        parts.append(max_projection(img, 1).ravel())
+    if x_proj:
+        parts.append(max_projection(img, 3).ravel())
+    if y_proj:
+        parts.append(max_projection(img, 2).ravel())
+    return jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.float32)
+
+
 def mp2d(img, z_proj=True, x_proj=True, y_proj=True):
     """2D max projections. Returns a dict of 2D arrays keyed 'xy' (z-MIP,
     (y, x)), 'yz' (x-MIP, (z, y)), 'zx' (y-MIP, (x, z)) — the three panels
@@ -28,13 +44,18 @@ def mp2d(img, z_proj=True, x_proj=True, y_proj=True):
     Note the reference gates the third panel on flagZProj (a copy-paste
     slip); we gate on y_proj as the interface documents."""
     img = jnp.asarray(img, jnp.float32)
+    sz, sy, sx = img.shape
+    flat = np.asarray(_mp2d_flat(img, z_proj, x_proj, y_proj))
     out = {}
+    off = 0
     if z_proj:
-        out["xy"] = np.asarray(max_projection(img, 1))
+        out["xy"] = flat[off:off + sy * sx].reshape(sy, sx)
+        off += sy * sx
     if x_proj:
-        out["yz"] = np.asarray(max_projection(img, 3))
+        out["yz"] = flat[off:off + sz * sy].reshape(sz, sy)
+        off += sz * sy
     if y_proj:
-        out["zx"] = np.asarray(max_projection(img, 2))
+        out["zx"] = flat[off:off + sx * sz].reshape(sx, sz)
     return out
 
 

@@ -106,6 +106,23 @@ def _make_cost(src_ms, tgt_ms, sd_t, ncc_impl=None):
     return cost_m
 
 
+def _make_cost_batch(src_ms, tgt_ms, sd_t, ncc_impl=None):
+    """(P, 12) matrices -> (P,) costs in ONE device call: the Pallas
+    N-probe kernel (union-footprint DMA shared by the probe batch) when
+    that implementation is selected, else a vmap of the single cost."""
+    if ncc_impl == "pallas":
+        from microimagelib_tpu.ops.pallas_corr import corr3d_partials_nprobe
+
+        def fn(m12s):
+            ss, st = corr3d_partials_nprobe(src_ms, tgt_ms, m12s)
+            ssf = jnp.sqrt(ss)
+            ncc = jnp.where(ssf == 0, jnp.float32(-2.0), (st / ssf) / sd_t)
+            return -ncc
+
+        return fn
+    return jax.vmap(_make_cost(src_ms, tgt_ms, sd_t, ncc_impl))
+
+
 @partial(jax.jit, static_argnames=("aff_method", "ncc_impl"))
 def reg_ladder_device(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
                       it_limit, ncc_impl=None):

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from microimagelib_tpu.models.registration_device import (
     _full_dof,
     _make_cost,
+    _make_cost_batch,
     dof_to_matrix_jnp,
     matrix_to_params_jnp,
     params_to_matrix_jnp,
@@ -99,9 +100,10 @@ def _stage_vg(cost_grad_m, to_matrix, scale):
     return vg
 
 
-@partial(jax.jit, static_argnames=("aff_method", "ncc_impl", "finish"))
+@partial(jax.jit, static_argnames=("aff_method", "ncc_impl", "finish",
+                                   "batch_ls"))
 def reg_ladder_grad(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
-                    it_limit, ncc_impl=None, finish=True):
+                    it_limit, ncc_impl=None, finish=True, batch_ls=False):
     """Gradient twin of registration_device.reg_ladder_device: same
     stages, same return contract (aff 12-vec, fret, stage_costs (4,),
     total evals).
@@ -110,8 +112,15 @@ def reg_ladder_grad(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
     point (powell_device, full reference semantics). From a near-optimal
     start it converges in a sweep or two (~100-200 evals), guaranteeing
     the final NCC is at least the Powell-engine local optimum while the
-    gradient ladder contributes the ~10x eval-count reduction."""
+    gradient ladder contributes the ~10x eval-count reduction.
+
+    ``batch_ls``: the finisher's line minimizations probe 8 points per
+    batched cost call (powell_device cost_batch) instead of serial
+    mnbrak/brent — the N-probe Pallas kernel amortizes the per-call
+    floor and the box DMA over the batch."""
     cost_grad_m = _make_cost_grad_m(src_ms, tgt_ms, sd_t, ncc_impl)
+    cost_batch_m = (_make_cost_batch(src_ms, tgt_ms, sd_t, ncc_impl)
+                    if (finish and batch_ls) else None)
 
     # preconditioning scales: translations/degrees ~1 voxel per unit;
     # scale factors and raw linear entries act through ~extent/2
@@ -148,6 +157,24 @@ def reg_ladder_grad(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
     def cost12(p):
         return cost_m(params_to_matrix_jnp(p))
 
+    def dof_cost_batch(dof_num):
+        if cost_batch_m is None:
+            return None
+
+        def fn(subs):
+            mats = jax.vmap(
+                lambda s: dof_to_matrix_jnp(_full_dof(s, dof_num), dof_num))(
+                    subs)
+            return cost_batch_m(mats)
+
+        return fn
+
+    if cost_batch_m is None:
+        cost12_batch = None
+    else:
+        def cost12_batch(ps):
+            return cost_batch_m(jax.vmap(params_to_matrix_jnp)(ps))
+
     if aff_method in (1, 2, 3, 4):
         dof_num = {1: 3, 2: 6, 3: 7, 4: 9}[aff_method]
         sub0 = jnp.zeros(dof_num, jnp.float32)
@@ -159,7 +186,8 @@ def reg_ladder_grad(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
         sub = q * sc
         if finish:
             sub, fret, nev = powell_device(dof_cost(dof_num), sub, ftol,
-                                           it_limit, nev0=nev)
+                                           it_limit, nev0=nev,
+                                           cost_batch=dof_cost_batch(dof_num))
         aff = dof_to_matrix_jnp(_full_dof(sub, dof_num), dof_num)
         stage_costs = stage_costs.at[0].set(fret)
     elif aff_method == 5:
@@ -167,7 +195,8 @@ def reg_ladder_grad(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
                                       it_limit)
         p = q * p12_scale
         if finish:
-            p, fret, nev = powell_device(cost12, p, ftol, it_limit, nev0=nev)
+            p, fret, nev = powell_device(cost12, p, ftol, it_limit, nev0=nev,
+                                         cost_batch=cost12_batch)
         aff = params_to_matrix_jnp(p)
         stage_costs = stage_costs.at[0].set(fret)
     elif aff_method == 6:
@@ -179,7 +208,8 @@ def reg_ladder_grad(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
                                       nev0=nev)
         p = q * p12_scale
         if finish:
-            p, fret, nev = powell_device(cost12, p, ftol, it_limit, nev0=nev)
+            p, fret, nev = powell_device(cost12, p, ftol, it_limit, nev0=nev,
+                                         cost_batch=cost12_batch)
         aff = params_to_matrix_jnp(p)
         stage_costs = stage_costs.at[1].set(fret)
     elif aff_method == 7:
@@ -202,7 +232,8 @@ def reg_ladder_grad(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
                                       nev0=nev)
         p = q * p12_scale
         if finish:
-            p, fret, nev = powell_device(cost12, p, ftol, it_limit, nev0=nev)
+            p, fret, nev = powell_device(cost12, p, ftol, it_limit, nev0=nev,
+                                         cost_batch=cost12_batch)
         aff = params_to_matrix_jnp(p)
         stage_costs = stage_costs.at[3].set(fret)
     else:

@@ -46,6 +46,69 @@ from microimagelib_tpu.ops.affine import corr3d_partials as _corr_gather
 DEFAULT_ROWS = 8
 
 
+def _mat_entries(m_ref, mi):
+    """The 12 matrix scalars of SMEM row ``mi``."""
+    return tuple(m_ref[mi, j] for j in range(12))
+
+
+def _row_sample(mv, row, xs, xs_i, sz, sy, sx):
+    """Per-output-row sample data for matrix scalars ``mv``: validity,
+    clamped corner indices, lerp fractions, the row's y footprint
+    bounds, and the (y, z) output coordinates (the grad kernel's
+    chain-rule factors)."""
+    m00, m01, m02, m03, m10, m11, m12, m13, m20, m21, m22, m23 = mv
+    z = (row // sy).astype(jnp.float32)
+    y = (row % sy).astype(jnp.float32)
+    cx = m00 * xs + (m01 * y + m02 * z + m03)
+    cy = m10 * xs + (m11 * y + m12 * z + m13)
+    cz = m20 * xs + (m21 * y + m22 * z + m23)
+    valid = (cx > -0.5) & (cy > -0.5) & (cz > -0.5) & \
+            (cx < sx - 0.5) & (cy < sy - 0.5) & (cz < sz - 0.5) & \
+            (xs_i < sx)  # padded out-x tail contributes nothing
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    z0 = jnp.floor(cz)
+    fx = cx - x0
+    fy = cy - y0
+    fz = cz - z0
+    x0r = x0.astype(jnp.int32)
+    y0r = y0.astype(jnp.int32)
+    z0r = z0.astype(jnp.int32)
+    x0i = jnp.clip(x0r, 0, sx - 1)
+    x1i = jnp.clip(x0r + 1, 0, sx - 1)
+    y0i = jnp.clip(y0r, 0, sy - 1)
+    y1i = jnp.clip(y0r + 1, 0, sy - 1)
+    z0i = jnp.clip(z0r, 0, sz - 1)
+    z1i = jnp.clip(z0r + 1, 0, sz - 1)
+    y_lo_row = jnp.min(jnp.where(valid, y0i, sy))
+    y_hi_row = jnp.max(jnp.where(valid, y1i, 0))
+    return (valid, x0i, x1i, y0i, y1i, z0i, z1i, fx, fy, fz,
+            y_lo_row, y_hi_row, y, z)
+
+
+def _block_coords_mv(mv, blk, rows, xs, xs_i, sz, sy, sx, kz_n, ky_n):
+    """Per-row sample data + footprint origin/fit of one ``rows``-row
+    block under matrix scalars ``mv`` (shared by all corr kernels)."""
+    row_data = []
+    z_lo_all = jnp.int32(sz)
+    z_hi_all = jnp.int32(0)
+    y_lo_all = jnp.int32(sy)
+    y_hi_all = jnp.int32(0)
+    for r in range(rows):
+        rd = _row_sample(mv, blk * rows + r, xs, xs_i, sz, sy, sx)
+        (valid, x0i, x1i, y0i, y1i, z0i, z1i, fx, fy, fz,
+         y_lo_row, y_hi_row, y, z) = rd
+        z_lo_all = jnp.minimum(z_lo_all, jnp.min(jnp.where(valid, z0i, sz)))
+        z_hi_all = jnp.maximum(z_hi_all, jnp.max(jnp.where(valid, z1i, 0)))
+        y_lo_all = jnp.minimum(y_lo_all, y_lo_row)
+        y_hi_all = jnp.maximum(y_hi_all, y_hi_row)
+        row_data.append(rd)
+    oz = jnp.clip(z_lo_all, 0, sz - kz_n)
+    oy = jnp.clip(y_lo_all, 0, sy - ky_n)
+    fits = ((z_hi_all - oz < kz_n) & (y_hi_all - oy < ky_n)).astype(jnp.float32)
+    return row_data, oz, oy, fits
+
+
 def _kernel(m_ref, src_hbm, tgt_ref, out_ref, box0, box1, sem0, sem1,
             *, k, rows, sz, sy, sx, sxp, n_steps):
     """Grid: one step per block of ``rows`` output rows.
@@ -71,18 +134,7 @@ def _kernel(m_ref, src_hbm, tgt_ref, out_ref, box0, box1, sem0, sem1,
     def _cell(row, col):
         return (r_ids == row) & (c_ids == col)
 
-    m00 = m_ref[0, 0]
-    m01 = m_ref[0, 1]
-    m02 = m_ref[0, 2]
-    m03 = m_ref[0, 3]
-    m10 = m_ref[0, 4]
-    m11 = m_ref[0, 5]
-    m12 = m_ref[0, 6]
-    m13 = m_ref[0, 7]
-    m20 = m_ref[0, 8]
-    m21 = m_ref[0, 9]
-    m22 = m_ref[0, 10]
-    m23 = m_ref[0, 11]
+    mv = _mat_entries(m_ref, 0)
 
     xs_i = lax.broadcasted_iota(jnp.int32, (1, sxp), 1)
     xs = xs_i.astype(jnp.float32)
@@ -95,48 +147,8 @@ def _kernel(m_ref, src_hbm, tgt_ref, out_ref, box0, box1, sem0, sem1,
 
     def block_coords(blk):
         """Per-row sample coordinates and the block's footprint origin."""
-        row_data = []
-        z_lo_all = jnp.int32(sz)
-        z_hi_all = jnp.int32(0)
-        y_lo_all = jnp.int32(sy)
-        y_hi_all = jnp.int32(0)
-        for r in range(rows):
-            row = blk * rows + r
-            z = (row // sy).astype(jnp.float32)
-            y = (row % sy).astype(jnp.float32)
-            cx = m00 * xs + (m01 * y + m02 * z + m03)
-            cy = m10 * xs + (m11 * y + m12 * z + m13)
-            cz = m20 * xs + (m21 * y + m22 * z + m23)
-            valid = (cx > -0.5) & (cy > -0.5) & (cz > -0.5) & \
-                    (cx < sx - 0.5) & (cy < sy - 0.5) & (cz < sz - 0.5) & \
-                    (xs_i < sx)  # padded out-x tail contributes nothing
-            x0 = jnp.floor(cx)
-            y0 = jnp.floor(cy)
-            z0 = jnp.floor(cz)
-            fx = cx - x0
-            fy = cy - y0
-            fz = cz - z0
-            x0r = x0.astype(jnp.int32)
-            y0r = y0.astype(jnp.int32)
-            z0r = z0.astype(jnp.int32)
-            x0i = jnp.clip(x0r, 0, sx - 1)
-            x1i = jnp.clip(x0r + 1, 0, sx - 1)
-            y0i = jnp.clip(y0r, 0, sy - 1)
-            y1i = jnp.clip(y0r + 1, 0, sy - 1)
-            z0i = jnp.clip(z0r, 0, sz - 1)
-            z1i = jnp.clip(z0r + 1, 0, sz - 1)
-            y_lo_row = jnp.min(jnp.where(valid, y0i, sy))
-            y_hi_row = jnp.max(jnp.where(valid, y1i, 0))
-            z_lo_all = jnp.minimum(z_lo_all, jnp.min(jnp.where(valid, z0i, sz)))
-            z_hi_all = jnp.maximum(z_hi_all, jnp.max(jnp.where(valid, z1i, 0)))
-            y_lo_all = jnp.minimum(y_lo_all, y_lo_row)
-            y_hi_all = jnp.maximum(y_hi_all, y_hi_row)
-            row_data.append((valid, x0i, x1i, y0i, y1i, z0i, z1i, fx, fy, fz,
-                             y_lo_row, y_hi_row))
-        oz = jnp.clip(z_lo_all, 0, sz - kz_n)
-        oy = jnp.clip(y_lo_all, 0, sy - ky_n)
-        fits = ((z_hi_all - oz < kz_n) & (y_hi_all - oy < ky_n)).astype(jnp.float32)
-        return row_data, oz, oy, fits
+        return _block_coords_mv(mv, blk, rows, xs, xs_i, sz, sy, sx,
+                                kz_n, ky_n)
 
     def block_origin(blk):
         """Footprint origin only (cheap recompute for the DMA prefetch)."""
@@ -178,7 +190,7 @@ def _kernel(m_ref, src_hbm, tgt_ref, out_ref, box0, box1, sem0, sem1,
         fits = fits_acc
         for r in range(rows):
             (valid, x0i, x1i, y0i, y1i, z0i, z1i, fx, fy, fz,
-             y_lo_row, y_hi_row) = row_data[r]
+             y_lo_row, y_hi_row) = row_data[r][:12]
             oy_r = jnp.clip(y_lo_row - oy, 0, ky_n - ky_row)
             # The block-level check covers the COMBINED footprint within
             # ky_n rows, but each row's contraction window is only ky_row
@@ -205,6 +217,141 @@ def _kernel(m_ref, src_hbm, tgt_ref, out_ref, box0, box1, sem0, sem1,
                + jnp.where(_cell(8 + srow, scol), st_acc, 0.0))
         new = jnp.where(_cell(16, 0), cur * fits, new)
         out_ref[:] = new
+
+    @pl.when(step % 2 == 0)
+    def _():
+        compute(box0, sem0)
+
+    @pl.when(step % 2 == 1)
+    def _():
+        compute(box1, sem1)
+
+
+def _kernel_nprobe(m_ref, src_hbm, tgt_ref, out_ref, box0, box1, sem0, sem1,
+                   *, k, rows, sz, sy, sx, sxp, n_steps, n_mats):
+    """N-matrix variant of :func:`_kernel` for vectorized line-search
+    probes: per grid step ONE DMA fetches the UNION footprint box of all
+    ``n_mats`` matrices (probes along a search direction overlap almost
+    entirely), then each matrix's contraction runs against the shared
+    box. Amortizes both the per-call issue floor and the HBM box traffic
+    over the probe batch.
+
+    out_ref is (24*n_mats, 128): matrix i's ss/st/fits occupy rows
+    [24i, 24i+24) with the same spread layout as the single kernel."""
+    step = pl.program_id(0)
+
+    r_ids = lax.broadcasted_iota(jnp.int32, (24 * n_mats, 128), 0)
+    c_ids = lax.broadcasted_iota(jnp.int32, (24 * n_mats, 128), 1)
+    srow = step % 8
+    scol = (step // 8) % 128
+
+    def _cell(row, col):
+        return (r_ids == row) & (c_ids == col)
+
+    xs_i = lax.broadcasted_iota(jnp.int32, (1, sxp), 1)
+    xs = xs_i.astype(jnp.float32)
+    kz = lax.broadcasted_iota(jnp.int32, (k + rows, sxp), 0)
+    ixs = lax.broadcasted_iota(jnp.int32, (sxp, sxp), 0)
+
+    kz_n = min(k, sz)
+    ky_n = min(k + rows, sy)
+    ky_row = min(k, ky_n)
+
+    def union_coords(blk):
+        """Per-matrix row data + the union footprint origin; per-matrix
+        fit is checked against the union window."""
+        datas, ozs, oys = [], [], []
+        for mi in range(n_mats):
+            rd, oz, oy, _ = _block_coords_mv(
+                _mat_entries(m_ref, mi), blk, rows, xs, xs_i, sz, sy, sx,
+                kz_n, ky_n)
+            datas.append(rd)
+            ozs.append(oz)
+            oys.append(oy)
+        ozu = ozs[0]
+        oyu = oys[0]
+        for mi in range(1, n_mats):
+            ozu = jnp.minimum(ozu, ozs[mi])
+            oyu = jnp.minimum(oyu, oys[mi])
+        # each per-matrix origin is already clipped to [0, n - box];
+        # their minimum stays in range and lower-bounds every footprint
+        fits = []
+        for mi in range(n_mats):
+            z_hi = jnp.int32(0)
+            y_hi = jnp.int32(0)
+            for r in range(rows):
+                (valid, _x0, _x1, _y0, y1i, _z0, z1i, _fx, _fy, _fz,
+                 _yl, y_hi_row, _y, _z) = datas[mi][r]
+                z_hi = jnp.maximum(z_hi, jnp.max(jnp.where(valid, z1i, 0)))
+                y_hi = jnp.maximum(y_hi, y_hi_row)
+            fits.append(((z_hi - ozu < kz_n)
+                         & (y_hi - oyu < ky_n)).astype(jnp.float32))
+        return datas, ozu, oyu, fits
+
+    def start_dma(blk, box, sem):
+        _, oz, oy, _ = union_coords(blk)
+        pltpu.make_async_copy(
+            src_hbm.at[pl.ds(oz, kz_n), pl.ds(oy, ky_n), :],
+            box.at[:kz_n, :ky_n, :],
+            sem,
+        ).start()
+
+    @pl.when(step == 0)
+    def _():
+        init = jnp.zeros((24 * n_mats, 128), jnp.float32)
+        for mi in range(n_mats):
+            init = jnp.where(_cell(24 * mi + 16, 0), 1.0, init)
+        out_ref[:] = init
+        start_dma(jnp.int32(0), box0, sem0)
+
+    @pl.when((step + 1 < n_steps) & (step % 2 == 0))
+    def _():
+        start_dma(step + 1, box1, sem1)
+
+    @pl.when((step + 1 < n_steps) & (step % 2 == 1))
+    def _():
+        start_dma(step + 1, box0, sem0)
+
+    datas, oz, oy, fits_mats = union_coords(step)
+
+    def compute(box_ref, sem):
+        pltpu.make_async_copy(
+            src_hbm.at[pl.ds(oz, kz_n), pl.ds(oy, ky_n), :],
+            box_ref.at[:kz_n, :ky_n, :],
+            sem,
+        ).wait()
+        cur = out_ref[:]
+        for mi in range(n_mats):
+            ss_acc = jnp.zeros((), jnp.float32)
+            st_acc = jnp.zeros((), jnp.float32)
+            fits = fits_mats[mi]
+            for r in range(rows):
+                (valid, x0i, x1i, y0i, y1i, z0i, z1i, fx, fy, fz,
+                 y_lo_row, y_hi_row) = datas[mi][r][:12]
+                oy_r = jnp.clip(y_lo_row - oy, 0, ky_n - ky_row)
+                fits = fits * (y_hi_row - (oy + oy_r) < ky_row).astype(
+                    jnp.float32)
+                box_row = box_ref[:kz_n, pl.ds(oy_r, ky_row), :]
+                z0l = z0i - oz
+                z1l = z1i - oz
+                y0l = y0i - (oy + oy_r)
+                y1l = y1i - (oy + oy_r)
+                wz = (1.0 - fz) * (kz[:kz_n] == z0l) + fz * (kz[:kz_n] == z1l)
+                wy = (1.0 - fy) * (kz[:ky_row] == y0l) + fy * (kz[:ky_row] == y1l)
+                wzy = (wz[:, None, :] * wy[None, :, :]).reshape(
+                    kz_n * ky_row, sxp)
+                wx = (1.0 - fx) * (ixs == x0i) + fx * (ixs == x1i)
+                q = jnp.dot(box_row.reshape(kz_n * ky_row, sxp), wx,
+                            preferred_element_type=jnp.float32)
+                s_row = jnp.sum(wzy * q, axis=0, keepdims=True)
+                s_row = jnp.where(valid, s_row, 0.0)
+                t_row = tgt_ref[r, :].reshape(1, sxp)
+                ss_acc = ss_acc + jnp.sum(s_row * s_row)
+                st_acc = st_acc + jnp.sum(s_row * t_row)
+            cur = (cur + jnp.where(_cell(24 * mi + srow, scol), ss_acc, 0.0)
+                   + jnp.where(_cell(24 * mi + 8 + srow, scol), st_acc, 0.0))
+            cur = jnp.where(_cell(24 * mi + 16, 0), cur * fits, cur)
+        out_ref[:] = cur
 
     @pl.when(step % 2 == 0)
     def _():
@@ -242,18 +389,7 @@ def _grad_kernel(m_ref, src_hbm, tgt_ref, out_ref, box0, box1, sem0, sem1,
     def _cell(row, col):
         return (r_ids == row) & (c_ids == col)
 
-    m00 = m_ref[0, 0]
-    m01 = m_ref[0, 1]
-    m02 = m_ref[0, 2]
-    m03 = m_ref[0, 3]
-    m10 = m_ref[0, 4]
-    m11 = m_ref[0, 5]
-    m12 = m_ref[0, 6]
-    m13 = m_ref[0, 7]
-    m20 = m_ref[0, 8]
-    m21 = m_ref[0, 9]
-    m22 = m_ref[0, 10]
-    m23 = m_ref[0, 11]
+    mv = _mat_entries(m_ref, 0)
 
     xs_i = lax.broadcasted_iota(jnp.int32, (1, sxp), 1)
     xs = xs_i.astype(jnp.float32)
@@ -265,48 +401,8 @@ def _grad_kernel(m_ref, src_hbm, tgt_ref, out_ref, box0, box1, sem0, sem1,
     ky_row = min(k, ky_n)
 
     def block_coords(blk):
-        row_data = []
-        z_lo_all = jnp.int32(sz)
-        z_hi_all = jnp.int32(0)
-        y_lo_all = jnp.int32(sy)
-        y_hi_all = jnp.int32(0)
-        for r in range(rows):
-            row = blk * rows + r
-            z = (row // sy).astype(jnp.float32)
-            y = (row % sy).astype(jnp.float32)
-            cx = m00 * xs + (m01 * y + m02 * z + m03)
-            cy = m10 * xs + (m11 * y + m12 * z + m13)
-            cz = m20 * xs + (m21 * y + m22 * z + m23)
-            valid = (cx > -0.5) & (cy > -0.5) & (cz > -0.5) & \
-                    (cx < sx - 0.5) & (cy < sy - 0.5) & (cz < sz - 0.5) & \
-                    (xs_i < sx)
-            x0 = jnp.floor(cx)
-            y0 = jnp.floor(cy)
-            z0 = jnp.floor(cz)
-            fx = cx - x0
-            fy = cy - y0
-            fz = cz - z0
-            x0r = x0.astype(jnp.int32)
-            y0r = y0.astype(jnp.int32)
-            z0r = z0.astype(jnp.int32)
-            x0i = jnp.clip(x0r, 0, sx - 1)
-            x1i = jnp.clip(x0r + 1, 0, sx - 1)
-            y0i = jnp.clip(y0r, 0, sy - 1)
-            y1i = jnp.clip(y0r + 1, 0, sy - 1)
-            z0i = jnp.clip(z0r, 0, sz - 1)
-            z1i = jnp.clip(z0r + 1, 0, sz - 1)
-            y_lo_row = jnp.min(jnp.where(valid, y0i, sy))
-            y_hi_row = jnp.max(jnp.where(valid, y1i, 0))
-            z_lo_all = jnp.minimum(z_lo_all, jnp.min(jnp.where(valid, z0i, sz)))
-            z_hi_all = jnp.maximum(z_hi_all, jnp.max(jnp.where(valid, z1i, 0)))
-            y_lo_all = jnp.minimum(y_lo_all, y_lo_row)
-            y_hi_all = jnp.maximum(y_hi_all, y_hi_row)
-            row_data.append((valid, x0i, x1i, y0i, y1i, z0i, z1i, fx, fy, fz,
-                             y_lo_row, y_hi_row, y, z))
-        oz = jnp.clip(z_lo_all, 0, sz - kz_n)
-        oy = jnp.clip(y_lo_all, 0, sy - ky_n)
-        fits = ((z_hi_all - oz < kz_n) & (y_hi_all - oy < ky_n)).astype(jnp.float32)
-        return row_data, oz, oy, fits
+        return _block_coords_mv(mv, blk, rows, xs, xs_i, sz, sy, sx,
+                                kz_n, ky_n)
 
     def block_origin(blk):
         _, oz, oy, _ = block_coords(blk)
@@ -475,6 +571,139 @@ def _corr_pallas_raw(src, tgt2d, m16, k, rows, sz, sy, sx, sxp,
     )(m16, src, tgt2d)
     # tree-reduce the spread partials (pairwise-accurate, vs sequential)
     return jnp.sum(out[0:8]), jnp.sum(out[8:16]), out[16, 0] > 0.5
+
+
+def _corr_pallas_raw_nprobe(src, tgt2d, m16s, k, rows, sz, sy, sx, sxp,
+                            n_mats, interpret=False):
+    n_steps = sz * sy // rows
+    kz_n = min(k, sz)
+    ky_n = min(k + rows, sy)
+    kernel = partial(_kernel_nprobe, k=k, rows=rows, sz=sz, sy=sy, sx=sx,
+                     sxp=sxp, n_steps=n_steps, n_mats=n_mats)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((n_mats, 16), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((rows, sxp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((24 * n_mats, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((24 * n_mats, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((kz_n, ky_n, sxp), jnp.float32),
+            pltpu.VMEM((kz_n, ky_n, sxp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(m16s, src, tgt2d)
+    o = out.reshape(n_mats, 24, 128)
+    ss = jnp.sum(o[:, 0:8], axis=(1, 2))
+    st = jnp.sum(o[:, 8:16], axis=(1, 2))
+    fit = o[:, 16, 0] > 0.5
+    return ss, st, fit
+
+
+def corr3d_partials_nprobe(src, tgt, m12s, interpret=False, k_mode=None,
+                           rows=None):
+    """(ss, st) of N matrices in ONE kernel launch — the vectorized
+    line-search probe batch (SURVEY §7 step 4's allowed multi-probe
+    deviation). Per block the kernel DMAs the UNION footprint box once
+    and contracts every matrix against it, so the probe batch amortizes
+    both the per-call issue floor and the HBM box traffic. Same K-tier
+    cascade (start tier = the batch's worst analytic bound); matrices
+    whose footprint outgrows every tier get the exact gather values."""
+    if k_mode is None:
+        env = os.environ.get("MIL_PALLAS_K", "cascade")
+        k_mode = env if env == "cascade" else int(env)
+    if rows is None:
+        env_rows = os.environ.get("MIL_PALLAS_ROWS")
+        if env_rows:
+            rows = int(env_rows)
+        else:
+            sz0, sy0, _ = src.shape
+            rows = next((r for r in (16, 8) if (sz0 * sy0) % r == 0),
+                        DEFAULT_ROWS)
+    return _corr3d_partials_nprobe_impl(src, tgt, m12s, interpret, k_mode,
+                                        rows)
+
+
+@partial(jax.jit, static_argnames=("interpret", "k_mode", "rows"))
+def _corr3d_partials_nprobe_impl(src, tgt, m12s, interpret, k_mode, rows):
+    sz, sy, sx = src.shape
+    m12s = jnp.asarray(m12s, jnp.float32)
+
+    def gather_all(_):
+        return jax.vmap(lambda m: _corr_gather(src, tgt, m))(m12s)
+
+    if (sz * sy) % rows:
+        return gather_all(None)
+    sxp = -(-sx // 128) * 128
+    src_p, tgt_p = src, tgt
+    if sxp != sx:
+        src_p = jnp.pad(src, ((0, 0), (0, 0), (0, sxp - sx)))
+        tgt_p = jnp.pad(tgt, ((0, 0), (0, 0), (0, sxp - sx)))
+    n_mats = int(m12s.shape[0])
+    m16s = jnp.zeros((n_mats, 16), jnp.float32).at[:, :12].set(m12s)
+    tgt2d = tgt_p.reshape(sz * sy, sxp)
+
+    def run(k):
+        return _corr_pallas_raw_nprobe(src_p, tgt2d, m16s, k, rows, sz, sy,
+                                       sx, sxp, n_mats, interpret)
+
+    def mixed(ss, st, fit):
+        """Kernel values where fit, exact gather values for the rest."""
+        def full(_):
+            gss, gst = gather_all(None)
+            return jnp.where(fit, ss, gss), jnp.where(fit, st, gst)
+
+        return lax.cond(fit.all(), lambda _: (ss, st), full, None)
+
+    if k_mode != "cascade":
+        ss, st, fit = run(int(k_mode))
+        return mixed(ss, st, fit)
+
+    k64_bytes = 2 * 4 * min(64, sz) * min(64 + rows, sy) * sxp
+    have64 = k64_bytes <= 12 * 1024 * 1024
+
+    span_x = jnp.float32(sx - 1)
+    y_need = (jnp.abs(m12s[:, 4]) * span_x
+              + jnp.abs(m12s[:, 5] - 1.0) * (rows - 1)
+              + jnp.abs(m12s[:, 6]) + 3.0)
+    z_need = (jnp.abs(m12s[:, 8]) * span_x
+              + jnp.abs(m12s[:, 9]) * (rows - 1)
+              + jnp.abs(m12s[:, 10] - 1.0) + 3.0)
+    need = jnp.max(jnp.maximum(y_need, z_need))
+
+    def tier64(_):
+        if not have64:
+            return gather_all(None)
+        ss, st, fit = run(64)
+        return mixed(ss, st, fit)
+
+    def tier32(_):
+        ss, st, fit = run(32)
+        return lax.cond(fit.all(), lambda _: (ss, st), tier64, None)
+
+    def tier16(_):
+        ss, st, fit = run(16)
+        return lax.cond(fit.all(), lambda _: (ss, st), tier32, None)
+
+    def tier8(_):
+        ss, st, fit = run(8)
+        return lax.cond(fit.all(), lambda _: (ss, st), tier16, None)
+
+    return lax.cond(
+        need <= 8, tier8,
+        lambda _: lax.cond(
+            need <= 16, tier16,
+            lambda _: lax.cond(need <= 32, tier32, tier64, None),
+            None),
+        None)
 
 
 def corr3d_grad_pallas(src, tgt, tmx, interpret=False, k_mode=None,

@@ -212,11 +212,79 @@ def _linmin(cost, p, xi):
     return p + xi_new, xi_new, fmin, nev1 + nev2
 
 
-def powell_device(cost, p0, ftol, it_limit, nev0=0):
+LS_LADDER = (-2.618, -1.0, -0.382, 0.382, 1.0, 1.618, 2.618, 4.236)
+LS_REFINE_ROUNDS = 3
+
+
+def _linmin_nprobe(cost_batch, p, xi, fret):
+    """Vectorized line minimization: one two-sided golden ladder call
+    brackets the minimum around alpha=0, then grid-refine rounds shrink
+    the bracket (expanding golden-style instead when the best probe sits
+    on an edge) — 1 + LS_REFINE_ROUNDS batched cost calls replace the
+    ~20 serial mnbrak/brent evaluations (the multi-probe deviation
+    SURVEY.md §7 step 4 allows; NR's serial probes exist because the
+    reference's texture cost evaluates one matrix per launch,
+    reference:src/api_powell.c:194-301). alpha=0 (the incoming point) is
+    always a candidate, so the step never regresses — mirroring brent's
+    return-the-start behavior on failed searches."""
+    n_probes = len(LS_LADDER)
+    alphas = jnp.array(LS_LADDER, jnp.float32)
+
+    def probe(al):
+        return cost_batch(p[None, :] + al[:, None] * xi[None, :])
+
+    f1 = probe(alphas)
+    all_a = jnp.concatenate([jnp.zeros(1, jnp.float32), alphas])
+    all_f = jnp.concatenate([fret[None], f1])
+    order = jnp.argsort(all_a)
+    a_s = all_a[order]
+    f_s = all_f[order]
+    b = jnp.argmin(f_s)
+    n_all = n_probes + 1
+    lo = jnp.where(b > 0, a_s[jnp.maximum(b - 1, 0)],
+                   a_s[0] - (a_s[1] - a_s[0]) * GOLD)
+    hi = jnp.where(b < n_all - 1, a_s[jnp.minimum(b + 1, n_all - 1)],
+                   a_s[-1] + (a_s[-1] - a_s[-2]) * GOLD)
+    xb = a_s[b]
+    fb = f_s[b]
+    nev = jnp.int32(n_probes)
+
+    def round_body(_, st):
+        lo, hi, xb, fb, nev = st
+        grid = lo + (hi - lo) * (jnp.arange(1, n_probes + 1,
+                                            dtype=jnp.float32)
+                                 / (n_probes + 1))
+        fg = probe(grid)
+        gb = jnp.argmin(fg)
+        better = fg[gb] < fb
+        xb2 = jnp.where(better, grid[gb], xb)
+        fb2 = jnp.where(better, fg[gb], fb)
+        width = hi - lo
+        stepw = width / (n_probes + 1)
+        # best on an edge: the minimum may lie outside — expand golden-
+        # style past that edge instead of shrinking onto it
+        lo2 = jnp.where(better & (gb == 0), lo - width * GOLD, xb2 - stepw)
+        hi2 = jnp.where(better & (gb == n_probes - 1), hi + width * GOLD,
+                        xb2 + stepw)
+        return lo2, hi2, xb2, fb2, nev + n_probes
+
+    lo, hi, xb, fb, nev = lax.fori_loop(0, LS_REFINE_ROUNDS, round_body,
+                                        (lo, hi, xb, fb, nev))
+    xi_new = xi * xb
+    return p + xi_new, xi_new, fb, nev
+
+
+def powell_device(cost, p0, ftol, it_limit, nev0=0, cost_batch=None):
     """On-device Powell. cost: (n,) f32 -> scalar f32 (pure, traced).
     Returns (p_min, f_min, total_evals). ``it_limit`` caps cost evals the
     way the reference's itNumStatic does; ``nev0`` carries the count
-    across ladder stages."""
+    across ladder stages.
+
+    ``cost_batch``: optional (P, n) -> (P,) batched cost; when given,
+    line minimizations run the vectorized multi-probe search
+    (:func:`_linmin_nprobe`) instead of serial mnbrak/brent — same
+    direction-set semantics, 1.001 abort, and it_limit accounting on the
+    accepted sequence."""
     p0 = jnp.asarray(p0, jnp.float32)
     n = p0.shape[0]
     ftol = jnp.float32(ftol)
@@ -224,6 +292,11 @@ def powell_device(cost, p0, ftol, it_limit, nev0=0):
 
     fret0 = cost(p0)
     nev_init = jnp.int32(nev0) + 1
+
+    def linmin(p, xit, fcur):
+        if cost_batch is None:
+            return _linmin(cost, p, xit)
+        return _linmin_nprobe(cost_batch, p, xit, fcur)
 
     # state: p, xi (n,n), fret, pt, it, nev, done
     def outer_cond(s):
@@ -240,7 +313,7 @@ def powell_device(cost, p0, ftol, it_limit, nev0=0):
             def do(_):
                 xit = lax.dynamic_slice(xi, (0, i), (n, 1)).reshape(n)
                 fptt = fret
-                p2, xit2, fret2, nev_lm = _linmin(cost, p, xit)
+                p2, xit2, fret2, nev_lm = linmin(p, xit, fret)
                 xi2 = lax.dynamic_update_slice(xi, xit2.reshape(n, 1), (0, i))
                 improved = jnp.abs(fptt - fret2) > delta
                 delta2 = jnp.where(improved, jnp.abs(fptt - fret2), delta)
@@ -274,7 +347,7 @@ def powell_device(cost, p0, ftol, it_limit, nev0=0):
                      - delta * (fp - fptt) ** 2)
 
                 def accept(_):
-                    p3, xit3, fret3, nev_lm = _linmin(cost, p, xit)
+                    p3, xit3, fret3, nev_lm = linmin(p, xit, fret)
                     last = lax.dynamic_slice(xi, (0, n - 1), (n, 1))
                     xi3 = lax.dynamic_update_slice(xi, last, (0, ibig))
                     xi3 = lax.dynamic_update_slice(xi3, xit3.reshape(n, 1), (0, n - 1))

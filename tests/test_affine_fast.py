@@ -123,3 +123,29 @@ def test_pallas_tier_selection_fuzz():
         np.testing.assert_allclose(float(ss_p), float(ss_g), rtol=5e-4)
         np.testing.assert_allclose(float(st_p), float(st_g), rtol=5e-4,
                                    atol=1e-3)
+
+
+def test_nprobe_batch_matches_gather():
+    """The N-probe kernel (one union-footprint box per block shared by
+    every probe) must equal per-matrix gather partials — including a
+    wild probe whose footprint forces the gather fallback inside the
+    batch."""
+    from microimagelib_tpu.ops.pallas_corr import corr3d_partials_nprobe
+
+    src, tgt = vols((16, 16, 32), seed=9)
+    base = np.asarray(identity_tmx(), np.float32)
+    mats = []
+    for t in (-2.0, -0.5, 0.3, 1.0, 2.7):
+        m = base.copy()
+        m[3] += t
+        m[7] += 0.5 * t
+        mats.append(m)
+    mats.append(np.asarray(
+        dof_to_matrix([0, 0, 0, 35.0, 0, 0, 1, 1, 1], 6), np.float32))
+    mats = jnp.asarray(np.stack(mats))
+    ss_b, st_b = corr3d_partials_nprobe(src, tgt, mats, interpret=True)
+    for i in range(mats.shape[0]):
+        ss_g, st_g = corr3d_partials(src, tgt, mats[i])
+        np.testing.assert_allclose(float(ss_b[i]), float(ss_g), rtol=5e-4)
+        np.testing.assert_allclose(float(st_b[i]), float(st_g), rtol=5e-4,
+                                   atol=1e-3)

@@ -225,3 +225,38 @@ def test_pyramid_anisotropic_registration():
                                          it_limit=2000, factor=(2, 2, 1))
     assert rec[3] > 0.97
     np.testing.assert_allclose([tmx[3], tmx[7], tmx[11]], [-2.0, 1.5, -1.0], atol=0.4)
+
+
+def test_powell_device_batched_linmin_quality():
+    """cost_batch switches the line minimizations to the vectorized
+    multi-probe search; the found minimum must match serial
+    mnbrak/brent's on a coupled quadratic."""
+    a = jnp.asarray(np.diag([1.0, 4.0, 0.25]) + 0.1, jnp.float32)
+    b = jnp.asarray([1.0, -2.0, 0.5], jnp.float32)
+
+    def cost(p):
+        return 0.5 * p @ a @ p - b @ p - 1.5
+
+    p0 = jnp.zeros(3, jnp.float32)
+    p_s, f_s, _ = jax.jit(lambda p: powell_device(cost, p, 1e-6, 3000))(p0)
+    p_b, f_b, nev = jax.jit(
+        lambda p: powell_device(cost, p, 1e-6, 3000,
+                                cost_batch=jax.vmap(cost)))(p0)
+    assert abs(float(f_b) - float(f_s)) < 1e-4 * (abs(float(f_s)) + 1.0)
+    np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_s), atol=5e-3)
+    assert int(nev) > 0
+
+
+def test_powell_device_batched_linmin_far_minimum():
+    """The edge-expansion rounds must reach a minimum far outside the
+    initial ladder span (mnbrak's GLIMIT territory)."""
+    def cost(p):
+        # stays below the 1.001 abort threshold over the whole search
+        return 0.0005 * (p[0] - 40.0) ** 2 - 2.0
+
+    p_b, f_b, _ = jax.jit(
+        lambda p: powell_device(cost, p, 1e-6, 3000,
+                                cost_batch=jax.vmap(cost)))(
+        jnp.zeros(1, jnp.float32))
+    assert abs(float(p_b[0]) - 40.0) < 1.0
+    assert float(f_b) < -2.0 + 1e-2

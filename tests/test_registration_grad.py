@@ -95,3 +95,17 @@ def test_lbfgs_solves_quadratic():
     p, fmin, nev = lbfgs_minimize(vg, jnp.zeros(3, jnp.float32), 1e-10, 200)
     np.testing.assert_allclose(np.asarray(p), [1.0, 0.1, 0.01], atol=1e-3)
     assert int(nev) < 200
+
+
+@pytest.mark.parametrize("method", [2, 7])
+def test_grad_engine_batched_linesearch_quality(method, monkeypatch):
+    """MIL_REG_BATCH_LS=1 runs the finisher's line minimizations as
+    8-probe batched cost calls; final NCC must match the serial
+    finisher's within 1e-3."""
+    vol, moved = _pair()
+    _, _, rec_s = reg3d_affine(vol, moved, aff_method=method, ftol=1e-4,
+                               it_limit=3000, engine="grad")
+    monkeypatch.setenv("MIL_REG_BATCH_LS", "1")
+    _, _, rec_b = reg3d_affine(vol, moved, aff_method=method, ftol=1e-4,
+                               it_limit=3000, engine="grad")
+    assert rec_b[3] >= rec_s[3] - 1e-3, (rec_b[3], rec_s[3])
