@@ -1185,7 +1185,8 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
         aff_dev, fret_dev, stage_costs, nev = reg_ladder_device(
             src_ms, tgt_ms, jnp.float32(sd_t), jnp.asarray(p_init, jnp.float32),
             aff_method, jnp.float32(ftol), jnp.int32(it_limit),
-            ncc_impl=resolve_ncc_impl(src_ms))
+            ncc_impl=resolve_ncc_impl(src_ms),
+            batch_ls=os.environ.get("MIL_REG_BATCH_LS", "0") != "0")
         aff_coef = np.asarray(aff_dev, np.float32)
         fret = float(fret_dev)
         stage = np.asarray(stage_costs)

@@ -123,19 +123,41 @@ def _make_cost_batch(src_ms, tgt_ms, sd_t, ncc_impl=None):
     return jax.vmap(_make_cost(src_ms, tgt_ms, sd_t, ncc_impl))
 
 
-@partial(jax.jit, static_argnames=("aff_method", "ncc_impl"))
+@partial(jax.jit, static_argnames=("aff_method", "ncc_impl", "batch_ls"))
 def reg_ladder_device(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
-                      it_limit, ncc_impl=None):
+                      it_limit, ncc_impl=None, batch_ls=False):
     """Run the affMethod 1-7 search on device. Inputs are the
     mean-subtracted source/target volumes, the target SD, and the initial
     12-param vector (identity unless affMethod==5 with an input matrix).
 
     Returns (aff_coef 12-vec, fret, cost_stage records (4,), total_evals).
-    Stage records mirror the reference's intermediate NCC telemetry."""
+    Stage records mirror the reference's intermediate NCC telemetry.
+
+    ``batch_ls``: line minimizations run as 8-probe batched cost calls
+    (the N-probe Pallas kernel) instead of serial mnbrak/brent."""
     cost_m = _make_cost(src_ms, tgt_ms, sd_t, ncc_impl)
+    cost_batch_m = (_make_cost_batch(src_ms, tgt_ms, sd_t, ncc_impl)
+                    if batch_ls else None)
 
     def cost12(p):
         return cost_m(params_to_matrix_jnp(p))
+
+    def cost12_batch(ps):
+        return cost_batch_m(jax.vmap(params_to_matrix_jnp)(ps))
+
+    def dof_batch(dof_num):
+        if cost_batch_m is None:
+            return None
+
+        def fn(subs):
+            mats = jax.vmap(
+                lambda sb: dof_to_matrix_jnp(_full_dof(sb, dof_num),
+                                             dof_num))(subs)
+            return cost_batch_m(mats)
+
+        return fn
+
+    c12b = cost12_batch if cost_batch_m is not None else None
 
     stage_costs = jnp.full(4, jnp.nan, jnp.float32)
     nev = jnp.int32(0)
@@ -145,32 +167,32 @@ def reg_ladder_device(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
         sub0 = jnp.zeros(dof_num, jnp.float32)
         if dof_num >= 7:
             sub0 = sub0.at[6:dof_num].set(1.0)
-        sub, fret, nev = powell_device(_make_dof_cost(cost_m, dof_num), sub0, ftol, it_limit)
+        sub, fret, nev = powell_device(_make_dof_cost(cost_m, dof_num), sub0, ftol, it_limit, cost_batch=dof_batch(dof_num))
         full = _full_dof(sub, dof_num)
         aff = dof_to_matrix_jnp(full, dof_num)
         stage_costs = stage_costs.at[0].set(fret)
     elif aff_method == 5:
-        p, fret, nev = powell_device(cost12, p_init12, ftol, it_limit)
+        p, fret, nev = powell_device(cost12, p_init12, ftol, it_limit, cost_batch=c12b)
         aff = params_to_matrix_jnp(p)
         stage_costs = stage_costs.at[0].set(fret)
     elif aff_method == 6:
-        sub, fret, nev = powell_device(_make_dof_cost(cost_m, 6), jnp.zeros(6, jnp.float32), 0.01, it_limit)
+        sub, fret, nev = powell_device(_make_dof_cost(cost_m, 6), jnp.zeros(6, jnp.float32), 0.01, it_limit, cost_batch=dof_batch(6))
         stage_costs = stage_costs.at[0].set(fret)
         p0 = matrix_to_params_jnp(dof_to_matrix_jnp(_full_dof(sub, 6), 6))
-        p, fret, nev = powell_device(cost12, p0, ftol, it_limit, nev0=nev)
+        p, fret, nev = powell_device(cost12, p0, ftol, it_limit, nev0=nev, cost_batch=c12b)
         aff = params_to_matrix_jnp(p)
         stage_costs = stage_costs.at[1].set(fret)
     elif aff_method == 7:
-        sub3, fret, nev = powell_device(_make_dof_cost(cost_m, 3), jnp.zeros(3, jnp.float32), 0.01, it_limit)
+        sub3, fret, nev = powell_device(_make_dof_cost(cost_m, 3), jnp.zeros(3, jnp.float32), 0.01, it_limit, cost_batch=dof_batch(3))
         stage_costs = stage_costs.at[0].set(fret)
         sub6_0 = jnp.concatenate([sub3, jnp.zeros(3, jnp.float32)])
-        sub6, fret, nev = powell_device(_make_dof_cost(cost_m, 6), sub6_0, 0.01, it_limit, nev0=nev)
+        sub6, fret, nev = powell_device(_make_dof_cost(cost_m, 6), sub6_0, 0.01, it_limit, nev0=nev, cost_batch=dof_batch(6))
         stage_costs = stage_costs.at[1].set(fret)
         sub9_0 = jnp.concatenate([sub6, jnp.ones(3, jnp.float32)])
-        sub9, fret, nev = powell_device(_make_dof_cost(cost_m, 9), sub9_0, 0.005, it_limit, nev0=nev)
+        sub9, fret, nev = powell_device(_make_dof_cost(cost_m, 9), sub9_0, 0.005, it_limit, nev0=nev, cost_batch=dof_batch(9))
         stage_costs = stage_costs.at[2].set(fret)
         p0 = matrix_to_params_jnp(dof_to_matrix_jnp(sub9, 9))
-        p, fret, nev = powell_device(cost12, p0, ftol, it_limit, nev0=nev)
+        p, fret, nev = powell_device(cost12, p0, ftol, it_limit, nev0=nev, cost_batch=c12b)
         aff = params_to_matrix_jnp(p)
         stage_costs = stage_costs.at[3].set(fret)
     else:
