@@ -149,3 +149,27 @@ def test_nprobe_batch_matches_gather():
         np.testing.assert_allclose(float(ss_b[i]), float(ss_g), rtol=5e-4)
         np.testing.assert_allclose(float(st_b[i]), float(st_g), rtol=5e-4,
                                    atol=1e-3)
+
+
+def test_nprobe_tier_fuzz():
+    """Random 9-DOF probe batches: the batch cascade starts at the
+    WORST analytic tier over the batch and must stay exact for every
+    member (escalation and per-member gather fallback included)."""
+    from microimagelib_tpu.ops.pallas_corr import corr3d_partials_nprobe
+
+    rng = np.random.default_rng(11)
+    src, tgt = vols((8, 16, 32), seed=21)
+    for _ in range(1):
+        dofs = np.stack([np.concatenate([rng.uniform(-3, 3, 3),
+                                         rng.uniform(-25, 25, 3),
+                                         rng.uniform(0.85, 1.2, 3)])
+                         for _ in range(3)])
+        mats = jnp.asarray(np.stack([np.asarray(dof_to_matrix(d, 9),
+                                                np.float32) for d in dofs]))
+        ss_b, st_b = corr3d_partials_nprobe(src, tgt, mats, interpret=True)
+        for i in range(mats.shape[0]):
+            ss_g, st_g = corr3d_partials(src, tgt, mats[i])
+            np.testing.assert_allclose(float(ss_b[i]), float(ss_g),
+                                       rtol=5e-4)
+            np.testing.assert_allclose(float(st_b[i]), float(st_g),
+                                       rtol=5e-4, atol=1e-3)
