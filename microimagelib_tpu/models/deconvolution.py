@@ -177,9 +177,9 @@ def _sep_plans(psf, psf_bp, fft_shape, arr=None):
 
 
 @partial(jax.jit, static_argnames=("n_iters", "const_initial", "meta",
-                                   "interpret"))
+                                   "interpret", "accel"))
 def _rl_single_sep_fused(img, arrs, n_iters, const_initial, meta,
-                         interpret):
+                         interpret, accel=False):
     """RL loop where each iteration is ONE pallas call (~3 volume-sized
     HBM passes): ops/conv_sep.py::rl_iter_fused."""
     from microimagelib_tpu.ops.conv_sep import RLFusedPlan, rl_iter_fused
@@ -194,16 +194,17 @@ def _rl_single_sep_fused(img, arrs, n_iters, const_initial, meta,
     # constant image is pre-rolled ONCE to meet the ratio stage there
     img = jnp.roll(img, meta[14:16], axis=(1, 2))
 
-    def body(_, est):
+    def step(est):
         return rl_iter_fused(est, img, plan, SMALLVALUE, interpret)
 
-    return jax.lax.fori_loop(0, n_iters, body, est0)
+    return _rl_loop(step, est0, n_iters, accel)
 
 
 @partial(jax.jit, static_argnames=("n_iters", "const_initial", "meta_a",
-                                   "meta_b", "interpret"))
+                                   "meta_b", "interpret", "accel"))
 def _rl_dual_sep_fused(img_a, img_b, arrs_a, arrs_b, n_iters,
-                       const_initial, meta_a, meta_b, interpret):
+                       const_initial, meta_a, meta_b, interpret,
+                       accel=False):
     from microimagelib_tpu.ops.conv_sep import RLFusedPlan, rl_iter_fused
 
     plan_a = RLFusedPlan(*arrs_a, meta_a)
@@ -218,17 +219,17 @@ def _rl_dual_sep_fused(img_a, img_b, arrs_a, arrs_b, n_iters,
     img_a = jnp.roll(img_a, meta_a[14:16], axis=(1, 2))
     img_b = jnp.roll(img_b, meta_b[14:16], axis=(1, 2))
 
-    def body(_, est):
+    def step(est):
         est = rl_iter_fused(est, img_a, plan_a, SMALLVALUE, interpret)
         return rl_iter_fused(est, img_b, plan_b, SMALLVALUE, interpret)
 
-    return jax.lax.fori_loop(0, n_iters, body, est0)
+    return _rl_loop(step, est0, n_iters, accel)
 
 
 @partial(jax.jit, static_argnames=("n_iters", "const_initial", "fwd_meta",
-                                   "bp_meta", "interpret"))
+                                   "bp_meta", "interpret", "accel"))
 def _rl_single_sep(img, fwd_arrs, bp_arrs, n_iters, const_initial,
-                   fwd_meta, bp_meta, interpret):
+                   fwd_meta, bp_meta, interpret, accel=False):
     """RL loop over the fused separable conv kernel: ratio and update are
     each ONE pallas launch (mode='ratio'/'update'), ~6 volume-sized HBM
     passes per iteration and no spectrum at all
@@ -246,21 +247,21 @@ def _rl_single_sep(img, fwd_arrs, bp_arrs, n_iters, const_initial,
     # constant image once (the bp stage rolls back, est stays frame 0)
     img = jnp.roll(img, fwd_meta[8:10], axis=(1, 2))
 
-    def body(_, est):
+    def step(est):
         ratio = conv3_sep(est, fwd, aux=img, mode="ratio",
                           interpret=interpret)
         return conv3_sep(ratio, bp, aux=est, mode="update",
                          smallvalue=SMALLVALUE, interpret=interpret)
 
-    return jax.lax.fori_loop(0, n_iters, body, est0)
+    return _rl_loop(step, est0, n_iters, accel)
 
 
 @partial(jax.jit, static_argnames=("n_iters", "const_initial", "fwd_a_meta",
                                    "bp_a_meta", "fwd_b_meta", "bp_b_meta",
-                                   "interpret"))
+                                   "interpret", "accel"))
 def _rl_dual_sep(img_a, img_b, fwd_a_arrs, bp_a_arrs, fwd_b_arrs, bp_b_arrs,
                  n_iters, const_initial, fwd_a_meta, bp_a_meta, fwd_b_meta,
-                 bp_b_meta, interpret):
+                 bp_b_meta, interpret, accel=False):
     from microimagelib_tpu.ops.conv_sep import SepPlan, conv3_sep
 
     fwd_a = SepPlan(*fwd_a_arrs, fwd_a_meta)
@@ -283,17 +284,48 @@ def _rl_dual_sep(img_a, img_b, fwd_a_arrs, bp_a_arrs, fwd_b_arrs, bp_b_arrs,
         return conv3_sep(ratio, bp, aux=est, mode="update",
                          smallvalue=SMALLVALUE, interpret=interpret)
 
-    def body(_, est):
+    def step(est):
         est = half(est, img_a, fwd_a, bp_a)
-        est = half(est, img_b, fwd_b, bp_b)
-        return est
+        return half(est, img_b, fwd_b, bp_b)
 
-    return jax.lax.fori_loop(0, n_iters, body, est0)
+    return _rl_loop(step, est0, n_iters, accel)
+
+
+def _rl_loop(step, est0, n_iters, accel):
+    """Run ``n_iters`` RL iterations of ``step``: plain fixed-point loop,
+    or — with ``accel`` — Biggs-Andrews vector extrapolation
+    (y_k = x_{k-1} + alpha_k (x_{k-1} - x_{k-2}),
+    alpha_k = <g_{k-1}, g_{k-2}> / <g_{k-2}, g_{k-2}> clamped to [0, 1),
+    g = x - y; Biggs & Andrews, Appl. Opt. 36:1766, 1997), which reaches
+    a given restoration quality in roughly half the RL steps. A
+    capability the reference lacks; opt-in via MIL_RL_ACCEL=1 (two extra
+    volume buffers and ~4 elementwise passes per iteration)."""
+    if not accel:
+        return jax.lax.fori_loop(0, n_iters, lambda _, e: step(e), est0)
+
+    def body(k, st):
+        x1, x2, g1, g2 = st
+        den = jnp.sum(g2 * g2)
+        alpha = jnp.where(den > 0, jnp.sum(g1 * g2) / den, 0.0)
+        alpha = jnp.where(k < 2, 0.0, jnp.clip(alpha, 0.0, 0.9999))
+        y = jnp.maximum(x1 + alpha * (x1 - x2), SMALLVALUE)
+        x = step(y)
+        return x, x1, x - y, g1
+
+    z = jnp.zeros_like(est0)
+    x, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (est0, est0, z, z))
+    return x
+
+
+def _accel_env():
+    return os.environ.get("MIL_RL_ACCEL", "0") != "0"
 
 
 @partial(jax.jit,
-         static_argnames=("n_iters", "const_initial", "fft_impl", "prec"))
-def _rl_single(img, otf, otf_bp, n_iters, const_initial, fft_impl, prec):
+         static_argnames=("n_iters", "const_initial", "fft_impl", "prec",
+                          "accel"))
+def _rl_single(img, otf, otf_bp, n_iters, const_initial, fft_impl, prec,
+               accel=False):
     shape = img.shape
     img = jnp.maximum(img, SMALLVALUE)
     if const_initial:
@@ -322,13 +354,13 @@ def _rl_single(img, otf, otf_bp, n_iters, const_initial, fft_impl, prec):
         def conv(x, which):
             return _conv_spec(x, otfs[which], shape)
 
-    def body(_, est):
+    def step(est):
         fwd = conv(est, 0)
         ratio = img / fwd
         upd = conv(ratio, 1)
         return jnp.maximum(est * upd, SMALLVALUE)
 
-    return jax.lax.fori_loop(0, n_iters, body, est0)
+    return _rl_loop(step, est0, n_iters, accel)
 
 
 def rl_decon_single(img, otf, otf_bp, n_iters, const_initial=False,
@@ -352,24 +384,27 @@ def rl_decon_single(img, otf, otf_bp, n_iters, const_initial=False,
             interp = committed_platform(img) != "tpu"
             if kind == "fused":
                 return _rl_single_sep_fused(img, tuple(p[:10]), n_iters,
-                                            const_initial, p.meta, interp)
+                                            const_initial, p.meta, interp,
+                                            _accel_env())
             fwd, bp = p
             return _rl_single_sep(img, tuple(fwd[:5]), tuple(bp[:5]),
                                   n_iters, const_initial, fwd.meta, bp.meta,
-                                  interp)
+                                  interp, _accel_env())
         if otf is None:
             # caller relied on the sep route but the plan was refused;
             # fall back through the PSF instead of crashing on None OTFs
             otf = gen_otf(jnp.asarray(psf_np), img.shape)
             otf_bp = gen_otf(jnp.asarray(bp_np), img.shape)
     return _rl_single(img, otf, otf_bp, n_iters, const_initial,
-                      _fft_impl(img.shape, img), mm_precision())
+                      _fft_impl(img.shape, img), mm_precision(),
+                      _accel_env())
 
 
 @partial(jax.jit,
-         static_argnames=("n_iters", "const_initial", "fft_impl", "prec"))
+         static_argnames=("n_iters", "const_initial", "fft_impl", "prec",
+                          "accel"))
 def _rl_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
-             const_initial, fft_impl, prec):
+             const_initial, fft_impl, prec, accel=False):
     shape = img_a.shape
     img_a = jnp.maximum(img_a, SMALLVALUE)
     img_b = jnp.maximum(img_b, SMALLVALUE)
@@ -407,12 +442,11 @@ def _rl_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
         upd = conv(ratio, base + 1)
         return jnp.maximum(est * upd, SMALLVALUE)
 
-    def body(_, est):
+    def step(est):
         est = half(est, img_a, 0)
-        est = half(est, img_b, 2)
-        return est
+        return half(est, img_b, 2)
 
-    return jax.lax.fori_loop(0, n_iters, body, est0)
+    return _rl_loop(step, est0, n_iters, accel)
 
 
 def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
@@ -442,7 +476,7 @@ def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
                 return _rl_dual_sep_fused(img_a, img_b, tuple(pa_[:10]),
                                           tuple(pb_[:10]), n_iters,
                                           const_initial, pa_.meta, pb_.meta,
-                                          interp)
+                                          interp, _accel_env())
             # mixed fused/pair (e.g. one view's rank blows the fused VMEM
             # budget): coerce to pairs — a fused plan implies both stage
             # plans exist
@@ -471,7 +505,7 @@ def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
                                     tuple(ba[:5]), tuple(fb[:5]),
                                     tuple(bb[:5]), n_iters, const_initial,
                                     fa.meta, ba.meta, fb.meta, bb.meta,
-                                    interp)
+                                    interp, _accel_env())
             # pairing impossible for one view: fall through to the FFT
             # loop (OTFs built below when not supplied)
         if otf_a is None:
@@ -483,7 +517,7 @@ def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
             otf_bp_b = gen_otf(jnp.asarray(bpb), img_a.shape)
     return _rl_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
                     const_initial, _fft_impl(img_a.shape, img_a),
-                    mm_precision())
+                    mm_precision(), _accel_env())
 
 
 # --------------------------------------------------------------------------
