@@ -71,6 +71,9 @@ def _gen_otf(psf, fft_shape, normalize, fft_impl):
     return jnp.fft.rfftn(padded)
 
 
+_OTF_CACHE = {}
+
+
 def gen_otf(psf, fft_shape, normalize=True):
     """PSF -> OTF on the (z, y, x) FFT grid ``fft_shape``.
 
@@ -83,9 +86,34 @@ def gen_otf(psf, fft_shape, normalize=True):
     impl is resolved from the CONCRETE psf array's committed device (a
     CPU-pinned PSF in mem_mode 0 keeps the CPU FFT). The OTF stays
     device-resident as complex64; only host<->device c64 TRANSFERS are
-    unsupported on axon."""
-    return _gen_otf(psf, tuple(fft_shape), normalize,
-                    _fft_impl(fft_shape, psf))
+    unsupported on axon.
+
+    Small PSFs (<= 1 MB) cache the prepared device OTF keyed by content,
+    grid, impl, and device — fusion and the batch driver rebuild the
+    same OTFs every call/timepoint, and each rebuild costs several
+    dispatches on the tunneled TPU (MIL_OTF_CACHE=0 disables; 16-entry
+    LRU)."""
+    impl = _fft_impl(fft_shape, psf)
+    key = None
+    if os.environ.get("MIL_OTF_CACHE", "1") != "0":
+        try:
+            host = np.asarray(psf)
+            if host.nbytes <= (1 << 20):
+                dev = (str(sorted(map(str, psf.devices())))
+                       if isinstance(psf, jax.Array) else "host")
+                key = (host.tobytes(), host.shape, tuple(fft_shape),
+                       bool(normalize), impl, dev)
+                hit = _OTF_CACHE.get(key)
+                if hit is not None:
+                    return hit
+        except Exception:   # traced/abstract psf: no caching
+            key = None
+    out = _gen_otf(psf, tuple(fft_shape), normalize, impl)
+    if key is not None:
+        while len(_OTF_CACHE) >= 16:
+            _OTF_CACHE.pop(next(iter(_OTF_CACHE)))
+        _OTF_CACHE[key] = out
+    return out
 
 
 # --------------------------------------------------------------------------

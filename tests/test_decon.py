@@ -252,3 +252,24 @@ def test_rl_accel_converges_faster(monkeypatch):
     accel_sep = np.asarray(rl_decon_single(img, otf, otf_bp, 8, psf=psf))
     np.testing.assert_allclose(accel_sep, accel, rtol=2e-4,
                                atol=2e-4 * accel.max())
+
+
+def test_gen_otf_cache(monkeypatch):
+    """Repeated gen_otf with identical content/grid returns the cached
+    device OTF; different content or MIL_OTF_CACHE=0 misses."""
+    from microimagelib_tpu.models.deconvolution import _OTF_CACHE
+
+    _OTF_CACHE.clear()
+    psf = gaussian_psf((7, 7, 7), 1.3)
+    a = gen_otf(jnp.asarray(psf), (16, 16, 128))
+    b = gen_otf(jnp.asarray(psf.copy()), (16, 16, 128))
+    assert b is a
+    c = gen_otf(jnp.asarray(psf * 2.0), (16, 16, 128))   # normalize makes
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=1e-6)
+    assert c is not a                                     # different bytes
+    d = gen_otf(jnp.asarray(psf), (16, 16, 64))
+    assert d is not a
+    monkeypatch.setenv("MIL_OTF_CACHE", "0")
+    e = gen_otf(jnp.asarray(psf), (16, 16, 128))
+    assert e is not a
+    np.testing.assert_allclose(np.asarray(e), np.asarray(a), atol=0)
