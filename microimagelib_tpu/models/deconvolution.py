@@ -157,6 +157,9 @@ def _fft_impl(shape, arr=None):
             else "matmul")
 
 
+_SEP_PLAN_CACHE = {}
+
+
 def _sep_plans(psf, psf_bp, fft_shape, arr=None):
     """Try the separable compact-PSF conv route (ops/conv_sep.py) for the
     RL loops when BOTH projectors are compact, low-separation-rank, and
@@ -188,20 +191,42 @@ def _sep_plans(psf, psf_bp, fft_shape, arr=None):
     tol = float(os.environ.get("MIL_CONV_SEP_TOL", "1e-6"))
     psf_np = np.asarray(psf, np.float32)
     bp_np = np.asarray(psf_bp, np.float32)
-    # the one-call-per-iteration form measured NO faster than two fused
-    # conv calls (512^3: 25.7 vs 22.4 ms/iter at its VMEM-forced zb=4;
-    # 256^3 at zb=8: 6.06 vs 6.03 — the kernel is MXU-bound, so halving
-    # HBM traffic doesn't pay). Kept selectable; default off.
-    if os.environ.get("MIL_CONV_SEP_FUSED", "0") == "1":
-        from microimagelib_tpu.ops.conv_sep import plan_rl_fused
+    fused_env = os.environ.get("MIL_CONV_SEP_FUSED", "0") == "1"
+    # plans are pure functions of (projectors, grid, tol, form): cache
+    # the device constants — fusion/batch re-plan identical projectors
+    # every call, paying the host SVD plus ~8 small H2D transfers each
+    key = None
+    if (os.environ.get("MIL_SEP_PLAN_CACHE", "1") != "0"
+            and psf_np.nbytes <= (1 << 20) and bp_np.nbytes <= (1 << 20)):
+        key = (psf_np.tobytes(), bp_np.tobytes(), psf_np.shape, bp_np.shape,
+               tuple(fft_shape), tol, fused_env)
+        hit = _SEP_PLAN_CACHE.get(key)
+        if hit is not None:
+            return hit[0]
 
-        fused = plan_rl_fused(psf_np, bp_np, fft_shape, tol=tol)
-        if fused is not None:
-            return "fused", fused
-    pair = plan_sep_pair(psf_np, bp_np, fft_shape, tol=tol)
-    if pair is None:
-        return None
-    return "pair", pair
+    def plan():
+        # the one-call-per-iteration form measured NO faster than two
+        # fused conv calls (512^3: 25.7 vs 22.4 ms/iter at its
+        # VMEM-forced zb=4; 256^3 at zb=8: 6.06 vs 6.03 — the kernel is
+        # MXU-bound, so halving HBM traffic doesn't pay). Kept
+        # selectable; default off.
+        if fused_env:
+            from microimagelib_tpu.ops.conv_sep import plan_rl_fused
+
+            fused = plan_rl_fused(psf_np, bp_np, fft_shape, tol=tol)
+            if fused is not None:
+                return "fused", fused
+        pair = plan_sep_pair(psf_np, bp_np, fft_shape, tol=tol)
+        if pair is None:
+            return None
+        return "pair", pair
+
+    route = plan()
+    if key is not None:
+        while len(_SEP_PLAN_CACHE) >= 8:
+            _SEP_PLAN_CACHE.pop(next(iter(_SEP_PLAN_CACHE)))
+        _SEP_PLAN_CACHE[key] = (route,)
+    return route
 
 
 @partial(jax.jit, static_argnames=("n_iters", "const_initial", "meta",
