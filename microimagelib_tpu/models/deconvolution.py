@@ -230,9 +230,9 @@ def _sep_plans(psf, psf_bp, fft_shape, arr=None):
 
 
 @partial(jax.jit, static_argnames=("n_iters", "const_initial", "meta",
-                                   "interpret", "accel"))
+                                   "interpret", "accel", "stop_tol"))
 def _rl_single_sep_fused(img, arrs, n_iters, const_initial, meta,
-                         interpret, accel=False):
+                         interpret, accel=False, stop_tol=None):
     """RL loop where each iteration is ONE pallas call (~3 volume-sized
     HBM passes): ops/conv_sep.py::rl_iter_fused."""
     from microimagelib_tpu.ops.conv_sep import RLFusedPlan, rl_iter_fused
@@ -250,14 +250,15 @@ def _rl_single_sep_fused(img, arrs, n_iters, const_initial, meta,
     def step(est):
         return rl_iter_fused(est, img, plan, SMALLVALUE, interpret)
 
-    return _rl_loop(step, est0, n_iters, accel)
+    return _rl_loop(step, est0, n_iters, accel, stop_tol)
 
 
 @partial(jax.jit, static_argnames=("n_iters", "const_initial", "meta_a",
-                                   "meta_b", "interpret", "accel"))
+                                   "meta_b", "interpret", "accel",
+                                   "stop_tol"))
 def _rl_dual_sep_fused(img_a, img_b, arrs_a, arrs_b, n_iters,
                        const_initial, meta_a, meta_b, interpret,
-                       accel=False):
+                       accel=False, stop_tol=None):
     from microimagelib_tpu.ops.conv_sep import RLFusedPlan, rl_iter_fused
 
     plan_a = RLFusedPlan(*arrs_a, meta_a)
@@ -276,13 +277,15 @@ def _rl_dual_sep_fused(img_a, img_b, arrs_a, arrs_b, n_iters,
         est = rl_iter_fused(est, img_a, plan_a, SMALLVALUE, interpret)
         return rl_iter_fused(est, img_b, plan_b, SMALLVALUE, interpret)
 
-    return _rl_loop(step, est0, n_iters, accel)
+    return _rl_loop(step, est0, n_iters, accel, stop_tol)
 
 
 @partial(jax.jit, static_argnames=("n_iters", "const_initial", "fwd_meta",
-                                   "bp_meta", "interpret", "accel"))
+                                   "bp_meta", "interpret", "accel",
+                                   "stop_tol"))
 def _rl_single_sep(img, fwd_arrs, bp_arrs, n_iters, const_initial,
-                   fwd_meta, bp_meta, interpret, accel=False):
+                   fwd_meta, bp_meta, interpret, accel=False,
+                   stop_tol=None):
     """RL loop over the fused separable conv kernel: ratio and update are
     each ONE pallas launch (mode='ratio'/'update'), ~6 volume-sized HBM
     passes per iteration and no spectrum at all
@@ -306,15 +309,15 @@ def _rl_single_sep(img, fwd_arrs, bp_arrs, n_iters, const_initial,
         return conv3_sep(ratio, bp, aux=est, mode="update",
                          smallvalue=SMALLVALUE, interpret=interpret)
 
-    return _rl_loop(step, est0, n_iters, accel)
+    return _rl_loop(step, est0, n_iters, accel, stop_tol)
 
 
 @partial(jax.jit, static_argnames=("n_iters", "const_initial", "fwd_a_meta",
                                    "bp_a_meta", "fwd_b_meta", "bp_b_meta",
-                                   "interpret", "accel"))
+                                   "interpret", "accel", "stop_tol"))
 def _rl_dual_sep(img_a, img_b, fwd_a_arrs, bp_a_arrs, fwd_b_arrs, bp_b_arrs,
                  n_iters, const_initial, fwd_a_meta, bp_a_meta, fwd_b_meta,
-                 bp_b_meta, interpret, accel=False):
+                 bp_b_meta, interpret, accel=False, stop_tol=None):
     from microimagelib_tpu.ops.conv_sep import SepPlan, conv3_sep
 
     fwd_a = SepPlan(*fwd_a_arrs, fwd_a_meta)
@@ -341,32 +344,66 @@ def _rl_dual_sep(img_a, img_b, fwd_a_arrs, bp_a_arrs, fwd_b_arrs, bp_b_arrs,
         est = half(est, img_a, fwd_a, bp_a)
         return half(est, img_b, fwd_b, bp_b)
 
-    return _rl_loop(step, est0, n_iters, accel)
+    return _rl_loop(step, est0, n_iters, accel, stop_tol)
 
 
-def _rl_loop(step, est0, n_iters, accel):
-    """Run ``n_iters`` RL iterations of ``step``: plain fixed-point loop,
-    or — with ``accel`` — Biggs-Andrews vector extrapolation
+def _rl_loop(step, est0, n_iters, accel, stop_tol=None):
+    """Run up to ``n_iters`` RL iterations of ``step``: plain fixed-point
+    loop, or — with ``accel`` — Biggs-Andrews vector extrapolation
     (y_k = x_{k-1} + alpha_k (x_{k-1} - x_{k-2}),
     alpha_k = <g_{k-1}, g_{k-2}> / <g_{k-2}, g_{k-2}> clamped to [0, 1),
     g = x - y; Biggs & Andrews, Appl. Opt. 36:1766, 1997), which reaches
     a given restoration quality in roughly half the RL steps. A
     capability the reference lacks; opt-in via MIL_RL_ACCEL=1 (two extra
-    volume buffers and ~4 elementwise passes per iteration)."""
-    if not accel:
+    volume buffers and ~4 elementwise passes per iteration).
+
+    ``stop_tol``: early-stop once the relative L1 update
+    ||x_k - x_{k-1}||_1 / ||x_{k-1}||_1 falls below it — the iteration
+    count becomes an upper bound instead of a fixed cost (the reference
+    always runs the full count; MIL_RL_STOP_TOL / the entries'
+    ``stop_tol`` kwarg)."""
+    if not accel and stop_tol is None:
         return jax.lax.fori_loop(0, n_iters, lambda _, e: step(e), est0)
 
-    def body(k, st):
-        x1, x2, g1, g2 = st
+    tol = jnp.float32(stop_tol if stop_tol is not None else 0.0)
+
+    def rel(x2, x1):
+        if stop_tol is None:
+            return jnp.float32(jnp.inf)
+        return (jnp.sum(jnp.abs(x2 - x1))
+                / jnp.maximum(jnp.sum(jnp.abs(x1)), 1e-20))
+
+    if not accel:
+        def cond(st):
+            it, x, r = st
+            return (it < n_iters) & (r > tol)
+
+        def body(st):
+            it, x, _ = st
+            x2 = step(x)
+            return it + 1, x2, rel(x2, x)
+
+        _, x, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), est0, jnp.float32(jnp.inf)))
+        return x
+
+    def cond_a(st):
+        it, x1, x2, g1, g2, r = st
+        return (it < n_iters) & (r > tol)
+
+    def body_a(st):
+        k, x1, x2, g1, g2, _ = st
         den = jnp.sum(g2 * g2)
         alpha = jnp.where(den > 0, jnp.sum(g1 * g2) / den, 0.0)
         alpha = jnp.where(k < 2, 0.0, jnp.clip(alpha, 0.0, 0.9999))
         y = jnp.maximum(x1 + alpha * (x1 - x2), SMALLVALUE)
         x = step(y)
-        return x, x1, x - y, g1
+        return k + 1, x, x1, x - y, g1, rel(x, x1)
 
     z = jnp.zeros_like(est0)
-    x, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (est0, est0, z, z))
+    _, x, _, _, _, _ = jax.lax.while_loop(
+        cond_a, body_a,
+        (jnp.int32(0), est0, est0, z, z, jnp.float32(jnp.inf)))
     return x
 
 
@@ -374,11 +411,20 @@ def _accel_env():
     return os.environ.get("MIL_RL_ACCEL", "0") != "0"
 
 
+def _stop_env(stop_tol=None):
+    """Resolve the early-stop tolerance: explicit kwarg wins, else
+    MIL_RL_STOP_TOL (unset/0 = off, the reference's fixed-count loop)."""
+    if stop_tol is not None:
+        return float(stop_tol) or None
+    env = os.environ.get("MIL_RL_STOP_TOL")
+    return float(env) if env else None
+
+
 @partial(jax.jit,
          static_argnames=("n_iters", "const_initial", "fft_impl", "prec",
-                          "accel"))
+                          "accel", "stop_tol"))
 def _rl_single(img, otf, otf_bp, n_iters, const_initial, fft_impl, prec,
-               accel=False):
+               accel=False, stop_tol=None):
     shape = img.shape
     img = jnp.maximum(img, SMALLVALUE)
     if const_initial:
@@ -413,11 +459,11 @@ def _rl_single(img, otf, otf_bp, n_iters, const_initial, fft_impl, prec,
         upd = conv(ratio, 1)
         return jnp.maximum(est * upd, SMALLVALUE)
 
-    return _rl_loop(step, est0, n_iters, accel)
+    return _rl_loop(step, est0, n_iters, accel, stop_tol)
 
 
 def rl_decon_single(img, otf, otf_bp, n_iters, const_initial=False,
-                    psf=None, psf_bp=None):
+                    psf=None, psf_bp=None, stop_tol=None):
     """Single-view RL on a pre-padded FFT-grid image. Returns the estimate
     on the same grid. (``decon_singleview_OTF1`` loop,
     reference:src/api_subfunc.cu:3404-3416.) The FFT backend is resolved
@@ -438,11 +484,11 @@ def rl_decon_single(img, otf, otf_bp, n_iters, const_initial=False,
             if kind == "fused":
                 return _rl_single_sep_fused(img, tuple(p[:10]), n_iters,
                                             const_initial, p.meta, interp,
-                                            _accel_env())
+                                            _accel_env(), _stop_env(stop_tol))
             fwd, bp = p
             return _rl_single_sep(img, tuple(fwd[:5]), tuple(bp[:5]),
                                   n_iters, const_initial, fwd.meta, bp.meta,
-                                  interp, _accel_env())
+                                  interp, _accel_env(), _stop_env(stop_tol))
         if otf is None:
             # caller relied on the sep route but the plan was refused;
             # fall back through the PSF instead of crashing on None OTFs
@@ -450,14 +496,14 @@ def rl_decon_single(img, otf, otf_bp, n_iters, const_initial=False,
             otf_bp = gen_otf(jnp.asarray(bp_np), img.shape)
     return _rl_single(img, otf, otf_bp, n_iters, const_initial,
                       _fft_impl(img.shape, img), mm_precision(),
-                      _accel_env())
+                      _accel_env(), _stop_env(stop_tol))
 
 
 @partial(jax.jit,
          static_argnames=("n_iters", "const_initial", "fft_impl", "prec",
-                          "accel"))
+                          "accel", "stop_tol"))
 def _rl_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
-             const_initial, fft_impl, prec, accel=False):
+             const_initial, fft_impl, prec, accel=False, stop_tol=None):
     shape = img_a.shape
     img_a = jnp.maximum(img_a, SMALLVALUE)
     img_b = jnp.maximum(img_b, SMALLVALUE)
@@ -499,12 +545,12 @@ def _rl_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
         est = half(est, img_a, 0)
         return half(est, img_b, 2)
 
-    return _rl_loop(step, est0, n_iters, accel)
+    return _rl_loop(step, est0, n_iters, accel, stop_tol)
 
 
 def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
                   const_initial=False, psf_a=None, psf_b=None,
-                  psf_bp_a=None, psf_bp_b=None):
+                  psf_bp_a=None, psf_bp_b=None, stop_tol=None):
     """Joint dual-view RL: view A then view B per iteration
     (``decon_dualview_OTF1``, reference:src/api_subfunc.cu:3634-3660).
     The FFT backend is resolved per call by :func:`_fft_impl`; raw
@@ -529,7 +575,8 @@ def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
                 return _rl_dual_sep_fused(img_a, img_b, tuple(pa_[:10]),
                                           tuple(pb_[:10]), n_iters,
                                           const_initial, pa_.meta, pb_.meta,
-                                          interp, _accel_env())
+                                          interp, _accel_env(),
+                                          _stop_env(stop_tol))
             # mixed fused/pair (e.g. one view's rank blows the fused VMEM
             # budget): coerce to pairs — a fused plan implies both stage
             # plans exist
@@ -558,7 +605,8 @@ def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
                                     tuple(ba[:5]), tuple(fb[:5]),
                                     tuple(bb[:5]), n_iters, const_initial,
                                     fa.meta, ba.meta, fb.meta, bb.meta,
-                                    interp, _accel_env())
+                                    interp, _accel_env(),
+                                    _stop_env(stop_tol))
             # pairing impossible for one view: fall through to the FFT
             # loop (OTFs built below when not supplied)
         if otf_a is None:
@@ -570,7 +618,7 @@ def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
             otf_bp_b = gen_otf(jnp.asarray(bpb), img_a.shape)
     return _rl_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
                     const_initial, _fft_impl(img_a.shape, img_a),
-                    mm_precision(), _accel_env())
+                    mm_precision(), _accel_env(), _stop_env(stop_tol))
 
 
 # --------------------------------------------------------------------------

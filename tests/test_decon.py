@@ -273,3 +273,33 @@ def test_gen_otf_cache(monkeypatch):
     e = gen_otf(jnp.asarray(psf), (16, 16, 128))
     assert e is not a
     np.testing.assert_allclose(np.asarray(e), np.asarray(a), atol=0)
+
+
+def test_rl_auto_stop():
+    """stop_tol early-stops once the relative L1 update falls below it:
+    the result sits between the 3-iteration and full-count outputs (it
+    stopped early) and equals the fixed-count run when tol is tiny."""
+    shape = (16, 16, 128)
+    truth = beads_volume(shape, n=10, seed=4)
+    psf = gaussian_psf((9, 9, 9), 1.4)
+    otf = gen_otf(jnp.asarray(psf), shape)
+    otf_bp = gen_otf(jnp.asarray(psf[::-1, ::-1, ::-1]), shape)
+    img = jnp.asarray(np.fft.irfftn(np.fft.rfftn(truth)
+                                    * np.asarray(otf), s=shape)
+                      .astype(np.float32) + 0.5)
+    full = np.asarray(rl_decon_single(img, otf, otf_bp, 40))
+    tiny = np.asarray(rl_decon_single(img, otf, otf_bp, 40, stop_tol=1e-9))
+    np.testing.assert_array_equal(tiny, full)     # tol never triggers
+    early = np.asarray(rl_decon_single(img, otf, otf_bp, 40, stop_tol=5e-3))
+    few = np.asarray(rl_decon_single(img, otf, otf_bp, 3))
+    d_early = np.linalg.norm(early - full)
+    d_few = np.linalg.norm(few - full)
+    assert 0 < d_early < d_few, (d_early, d_few)  # stopped early, past it=3
+    # env knob reaches the loop too
+    import os
+    os.environ["MIL_RL_STOP_TOL"] = "5e-3"
+    try:
+        via_env = np.asarray(rl_decon_single(img, otf, otf_bp, 40))
+        np.testing.assert_array_equal(via_env, early)
+    finally:
+        del os.environ["MIL_RL_STOP_TOL"]
