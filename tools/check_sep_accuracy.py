@@ -14,6 +14,8 @@ measured value for the dense sep path was 2.1e-5).
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 
