@@ -1417,12 +1417,14 @@ def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
     polish_method = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 5, 7: 5}[aff_method]
     kz_, ky_, kx_ = _pool_factors(factor)
     fmid = (max(1, kz_ // 2), max(1, ky_ // 2), max(1, kx_ // 2))
-    if (os.environ.get("MIL_REG_PYRAMID_MID", "0") == "1"
+    if (os.environ.get("MIL_REG_PYRAMID_MID", "1") != "0"
             and any(v > 1 for v in fmid)):
-        # optional 3-level schedule: polish the REQUESTED model at half
-        # pooling first (each eval ~(2^3)x cheaper), so the
-        # full-resolution stage starts near-converged and spends fewer
-        # of its expensive evals
+        # 3-level schedule (default on; MIL_REG_PYRAMID_MID=0 restores the
+        # 2-level pyramid): polish the REQUESTED model at half pooling
+        # first (each eval ~(2^3)x cheaper), so the full-resolution stage
+        # starts near-converged and spends fewer of its expensive evals.
+        # Hardware A/B (BASELINE.md session-3 table): fusion1tp 6.09 vs
+        # 6.49 s at identical final NCC; a no-op when fmid == (1,1,1)
         m1 = _mean_pool(img1, fmid)
         m2 = _mean_pool(img2, fmid)
         if verbose:

@@ -524,7 +524,7 @@ def _corr_grad_pallas_raw(src, tgt2d, m16, k, rows, sz, sy, sx, sxp,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((rows, sxp), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((224, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -556,7 +556,7 @@ def _corr_pallas_raw(src, tgt2d, m16, k, rows, sz, sy, sx, sxp,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((rows, sxp), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((24, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -586,7 +586,7 @@ def _corr_pallas_raw_nprobe(src, tgt2d, m16s, k, rows, sz, sy, sx, sxp,
         in_specs=[
             pl.BlockSpec((n_mats, 16), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((rows, sxp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -32,6 +32,14 @@ def _spec_spec():
     return P(None, "sp", None)
 
 
+def _to_mesh(x, mesh, spec):
+    """Reshard an input onto the mesh. The batch driver's device-resident
+    pipeline hands over arrays COMMITTED to a single device; jit+shard_map
+    rejects those ("incompatible devices") instead of resharding, so every
+    sharded entry lays its inputs out explicitly."""
+    return jax.device_put(jnp.asarray(x), jax.sharding.NamedSharding(mesh, spec))
+
+
 def _rl_single_local(img, otf, otf_bp, n_iters, const_initial, nx, axis_name="sp"):
     """Per-shard single-view RL body (runs inside shard_map)."""
     img = jnp.maximum(img, SMALLVALUE)
@@ -96,7 +104,9 @@ def rl_decon_single_sharded(img, otf, otf_bp, n_iters, mesh, const_initial=False
         out_specs=_vol_spec(),
     )
     jitted = jax.jit(fn)
-    return jitted(jnp.asarray(img), jnp.asarray(otf), jnp.asarray(otf_bp))
+    return jitted(_to_mesh(img, mesh, _vol_spec()),
+                  _to_mesh(otf, mesh, _spec_spec()),
+                  _to_mesh(otf_bp, mesh, _spec_spec()))
 
 
 def rl_decon_dual_sharded(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b,
@@ -112,8 +122,12 @@ def rl_decon_dual_sharded(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b,
         out_specs=_vol_spec(),
     )
     jitted = jax.jit(fn)
-    return jitted(jnp.asarray(img_a), jnp.asarray(img_b), jnp.asarray(otf_a),
-                  jnp.asarray(otf_b), jnp.asarray(otf_bp_a), jnp.asarray(otf_bp_b))
+    return jitted(_to_mesh(img_a, mesh, _vol_spec()),
+                  _to_mesh(img_b, mesh, _vol_spec()),
+                  _to_mesh(otf_a, mesh, _spec_spec()),
+                  _to_mesh(otf_b, mesh, _spec_spec()),
+                  _to_mesh(otf_bp_a, mesh, _spec_spec()),
+                  _to_mesh(otf_bp_b, mesh, _spec_spec()))
 
 
 def rl_decon_dual_batch_dp(imgs_a, imgs_b, otf_a, otf_b, otf_bp_a, otf_bp_b,
@@ -136,8 +150,12 @@ def rl_decon_dual_batch_dp(imgs_a, imgs_b, otf_a, otf_b, otf_bp_a, otf_bp_b,
         out_specs=P("dp", "sp", None, None),
     )
     jitted = jax.jit(fn)
-    return jitted(jnp.asarray(imgs_a), jnp.asarray(imgs_b), jnp.asarray(otf_a),
-                  jnp.asarray(otf_b), jnp.asarray(otf_bp_a), jnp.asarray(otf_bp_b))
+    bspec = P("dp", "sp", None, None)
+    return jitted(_to_mesh(imgs_a, mesh, bspec), _to_mesh(imgs_b, mesh, bspec),
+                  _to_mesh(otf_a, mesh, _spec_spec()),
+                  _to_mesh(otf_b, mesh, _spec_spec()),
+                  _to_mesh(otf_bp_a, mesh, _spec_spec()),
+                  _to_mesh(otf_bp_b, mesh, _spec_spec()))
 
 
 def _gather_zwindow(x, hops, axis_name="sp"):
@@ -221,9 +239,14 @@ def fusion_step_multichip(mesh, imgs_a, imgs_b, otf_a, otf_b, otf_bp_a, otf_bp_b
         out_specs=(P("dp", "sp", None, None), P("dp"), P("dp")),
     )
     jitted = jax.jit(fn)
-    return jitted(jnp.asarray(imgs_a, jnp.float32), jnp.asarray(imgs_b, jnp.float32),
-                  jnp.asarray(tmx_batch, jnp.float32), jnp.asarray(otf_a),
-                  jnp.asarray(otf_b), jnp.asarray(otf_bp_a), jnp.asarray(otf_bp_b))
+    bspec = P("dp", "sp", None, None)
+    return jitted(_to_mesh(jnp.asarray(imgs_a, jnp.float32), mesh, bspec),
+                  _to_mesh(jnp.asarray(imgs_b, jnp.float32), mesh, bspec),
+                  _to_mesh(jnp.asarray(tmx_batch, jnp.float32), mesh, P("dp", None)),
+                  _to_mesh(otf_a, mesh, _spec_spec()),
+                  _to_mesh(otf_b, mesh, _spec_spec()),
+                  _to_mesh(otf_bp_a, mesh, _spec_spec()),
+                  _to_mesh(otf_bp_b, mesh, _spec_spec()))
 
 
 # --------------------------------------------------------------------------

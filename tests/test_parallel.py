@@ -68,6 +68,30 @@ def test_batch_dp_matches_per_timepoint(setup):
         np.testing.assert_allclose(out[t], ref, rtol=2e-5, atol=2e-5)
 
 
+def test_sharded_entries_accept_committed_device_arrays(setup):
+    """The batch driver's device-resident pipeline hands the sharded
+    entries arrays COMMITTED to one device; jit+shard_map rejects those
+    unless the entries reshard explicitly (regression: the MIL_MESH CLI
+    path failed with 'Received incompatible devices')."""
+    shape, img_a, img_b, otf, otf_bp = setup
+    mesh = make_mesh(n_sp=2, n_dp=2)
+    dev0 = jax.devices()[0]
+    a_c = jax.device_put(jnp.asarray(img_a), dev0)
+    b_c = jax.device_put(jnp.asarray(img_b), dev0)
+    otf_c = jax.device_put(otf, dev0)
+    otf_bp_c = jax.device_put(otf_bp, dev0)
+    batch_a = jax.device_put(jnp.stack([a_c, b_c]), dev0)
+    batch_b = jax.device_put(jnp.stack([b_c, a_c]), dev0)
+    out = np.asarray(rl_decon_dual_batch_dp(batch_a, batch_b, otf_c, otf_c,
+                                            otf_bp_c, otf_bp_c, 2, mesh))
+    ref = np.asarray(rl_decon_dual(jnp.asarray(img_a), jnp.asarray(img_b),
+                                   otf, otf, otf_bp, otf_bp, 2))
+    np.testing.assert_allclose(out[0], ref, rtol=2e-5, atol=2e-5)
+    out2 = np.asarray(rl_decon_dual_sharded(a_c, b_c, otf_c, otf_c, otf_bp_c,
+                                            otf_bp_c, 2, make_mesh(n_sp=4, n_dp=1)))
+    np.testing.assert_allclose(out2, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_fusion_step_multichip_runs(setup):
     shape, img_a, img_b, otf, otf_bp = setup
     mesh = make_mesh(n_sp=4, n_dp=2)

@@ -186,15 +186,16 @@ def test_pyramid_preserves_requested_dof_model():
 
 
 def test_pyramid_mid_level_matches_default(monkeypatch):
-    """MIL_REG_PYRAMID_MID=1 inserts a half-pooling polish stage; the
-    found matrix must register as well as the 2-level default (same
-    objective, different search trajectory)."""
+    """The default 3-level schedule (mid half-pooling polish stage) must
+    register as well as the 2-level pyramid (MIL_REG_PYRAMID_MID=0 —
+    same objective, different search trajectory)."""
     from microimagelib_tpu.models.registration import reg3d_affine_pyramid
 
     vol = smooth_blobs((32, 32, 32), n=12, seed=21)
     true_m = identity_tmx()
     true_m[3], true_m[7], true_m[11] = 1.7, -2.1, 0.9
     moved = np.asarray(affine_transform_3d(jnp.asarray(vol), true_m, vol.shape))
+    monkeypatch.setenv("MIL_REG_PYRAMID_MID", "0")
     _, _, rec2 = reg3d_affine_pyramid(
         vol, moved, aff_method=1, ftol=1e-5, it_limit=3000, factor=(4, 4, 1))
     monkeypatch.setenv("MIL_REG_PYRAMID_MID", "1")
