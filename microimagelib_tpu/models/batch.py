@@ -23,6 +23,8 @@ Output tree (reference:src/spim_fusion_batch.cpp:244-319):
 from __future__ import annotations
 
 import os
+
+from microimagelib_tpu.utils.envflags import env_on
 import queue
 import threading
 import time
@@ -256,7 +258,7 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
     # disjoint and no further coordination is needed. regMode 2 chains
     # each timepoint's matrix from the previous one and cannot shard. ---
     process_tag = ""
-    if os.environ.get("MIL_MULTIHOST") == "1":
+    if env_on("MIL_MULTIHOST"):
         from microimagelib_tpu.parallel.distributed import (
             init_distributed,
             shard_timepoints,

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import math
 import os
+
+from microimagelib_tpu.utils.envflags import env_on
 from functools import partial
 
 import jax
@@ -266,7 +268,7 @@ def _rotate_and_mip_all_factored(img, mats, out_shape, r_axis, chunk, prec,
     if hit is None:
         was, wbs = _factored_tables(jnp.asarray(mats), zo, na, nb, po,
                                     chunk, r_axis)
-        if os.environ.get("MIL_MIP_TABLE_CACHE", "1") != "0":
+        if env_on("MIL_MIP_TABLE_CACHE", True):
             from microimagelib_tpu.utils.device import free_memory_mb
 
             free_mb = free_memory_mb()

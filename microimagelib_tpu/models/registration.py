@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import math
 import os
+
+from microimagelib_tpu.utils.envflags import env_on
 import time
 from functools import partial
 
@@ -1011,7 +1013,7 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
             # CPU-committed volumes (mem_mode 0, CPU hosts) have no
             # device watchdog: the single-program ladder is always right
             engine = "device"
-        elif os.environ.get("MIL_REG_GRAD", "1") != "0":
+        elif env_on("MIL_REG_GRAD", True):
             # accelerator default (round 3): the gradient ladder — the
             # analytic-gradient L-BFGS stages reach the Powell finisher's
             # basin in ~10x fewer evaluations, and the finisher
@@ -1071,8 +1073,8 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
             src_ms, tgt_ms, jnp.float32(sd_t), jnp.asarray(p_init, jnp.float32),
             aff_method, jnp.float32(ftol), jnp.int32(it_limit),
             ncc_impl=resolve_ncc_impl(src_ms),
-            finish=os.environ.get("MIL_REG_GRAD_FINISH", "1") != "0",
-            batch_ls=os.environ.get("MIL_REG_BATCH_LS", "0") != "0")
+            finish=env_on("MIL_REG_GRAD_FINISH", True),
+            batch_ls=env_on("MIL_REG_BATCH_LS"))
         aff_coef = np.asarray(aff_dev, np.float32)
         fret = float(fret_dev)
         stage = np.asarray(stage_costs)
@@ -1186,7 +1188,7 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
             src_ms, tgt_ms, jnp.float32(sd_t), jnp.asarray(p_init, jnp.float32),
             aff_method, jnp.float32(ftol), jnp.int32(it_limit),
             ncc_impl=resolve_ncc_impl(src_ms),
-            batch_ls=os.environ.get("MIL_REG_BATCH_LS", "0") != "0")
+            batch_ls=env_on("MIL_REG_BATCH_LS"))
         aff_coef = np.asarray(aff_dev, np.float32)
         fret = float(fret_dev)
         stage = np.asarray(stage_costs)
@@ -1417,7 +1419,7 @@ def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
     polish_method = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 5, 7: 5}[aff_method]
     kz_, ky_, kx_ = _pool_factors(factor)
     fmid = (max(1, kz_ // 2), max(1, ky_ // 2), max(1, kx_ // 2))
-    if (os.environ.get("MIL_REG_PYRAMID_MID", "1") != "0"
+    if (env_on("MIL_REG_PYRAMID_MID", True)
             and any(v > 1 for v in fmid)):
         # 3-level schedule (default on; MIL_REG_PYRAMID_MID=0 restores the
         # 2-level pyramid): polish the REQUESTED model at half pooling
