@@ -16,12 +16,15 @@ of the PSF: z vs (y,x), then y vs x per component) and executes the
 whole convolution — x and y as banded-circulant bf16x3 matmuls on the
 MXU, z as a short FMA stencil — in ONE software-pipelined Pallas kernel:
 
-  * grid over z-slabs; step i computes the xy-convolved slab (i-1) mod G
-    into a rolling VMEM buffer and emits the z-convolved slab i-2 from
-    the [tail | prev | head-of-current] assembly, so the z wraparound of
-    the circular conv is handled purely by the grid index maps (the two
-    extra steps re-fetch the first/last slab) — no halo DMA, no
-    spectrum, no intermediate HBM traffic;
+  * grid over z-slabs; step i copies the incoming slab into a rolling
+    raw-slab VMEM history window and, once the window covers an output
+    slab's full z reach, emits it: per rank, a z FMA over the window —
+    each tap's block optionally ROLLED in xy by the PSF's per-slab
+    centroid drift (tilted/curved measured PSFs plan at straight-PSF
+    rank this way, see :func:`slab_align`) — then one xy conv per row.
+    The z wraparound of the circular conv is handled purely by the grid
+    index maps (the lookahead steps re-fetch the first/last slabs) — no
+    halo DMA, no spectrum, no intermediate HBM traffic;
   * the RL elementwise stages fuse into the same kernel (``mode``):
     ``ratio`` emits img / conv, ``update`` emits
     max(est * conv, smallvalue) — one RL iteration is exactly TWO kernel
@@ -52,7 +55,7 @@ from microimagelib_tpu.ops.fft_pallas import _dot3_cl, _dot3_cr, _hi_lo
 
 __all__ = ["plan_sep", "plan_sep_pair", "conv3_sep", "SepPlan",
            "sep_grid_supported", "plan_rl_fused", "rl_iter_fused",
-           "RLFusedPlan"]
+           "RLFusedPlan", "slab_align"]
 
 _VMEM_LIMIT = 100 * 1024 * 1024
 _T = 128  # lane tile for the banded xy circulant blocks
@@ -196,8 +199,49 @@ def _crop_offsets(pshape, shape):
             [np.arange(p) - p // 2 for p in pshape])
 
 
+def slab_align(psf, mass_tol=1e-3):
+    """Per-slab integer recentering of a tilted/curved PSF — the step
+    that makes real light-sheet PSFs low-separation-rank: slab k is
+    shifted by -(uy_k, ux_k), uy/ux = rint(slab xy mass centroid - the
+    mass-weighted mean centroid), onto an enlarged zero canvas whose
+    center convention (size//2) is preserved. Returns
+    (aligned, rolls_z) with rolls_z[k] = (uy_k, ux_k) — slab k of
+    ``aligned`` stands for the true slab shifted by +rolls_z[k], which
+    :func:`plan_sep` re-applies EXACTLY as per-tap xy rolls at the
+    kernel's z FMA (circular convolution with per-slab-shifted taps is
+    identical to rolled per-slab convolution:
+    sum_d Shift_m(d)[psf_al[d]] (*)_xy v[z-d]
+    = sum_d Roll_m(d)( psf_al[d] (*)_xy v[z-d] )). Slabs below
+    ``mass_tol`` of the peak mass inherit the nearest fitted slab's
+    shift (their taps are negligible; ANY choice keeps exactness)."""
+    p = np.asarray(psf, np.float64)
+    pz, py, px = p.shape
+    q = np.abs(p)
+    m = q.sum(axis=(1, 2))
+    u = np.zeros((pz, 2), np.int64)
+    if not (np.isfinite(m.max()) and m.max() > 0):
+        return p, u
+    keep = m > mass_tol * m.max()
+    cy = (q[keep] * np.arange(py)[None, :, None]).sum(axis=(1, 2)) / m[keep]
+    cx = (q[keep] * np.arange(px)[None, None, :]).sum(axis=(1, 2)) / m[keep]
+    w = m[keep]
+    u[keep, 0] = np.rint(cy - np.average(cy, weights=w))
+    u[keep, 1] = np.rint(cx - np.average(cx, weights=w))
+    fitted = np.where(keep)[0]
+    for k in np.where(~keep)[0]:
+        u[k] = u[fitted[np.argmin(np.abs(fitted - k))]]
+    if not u.any():
+        return p, u
+    my, mx = int(np.abs(u[:, 0]).max()), int(np.abs(u[:, 1]).max())
+    out = np.zeros((pz, py + 2 * my, px + 2 * mx))
+    for k in range(pz):
+        out[k, my - u[k, 0]:my - u[k, 0] + py,
+            mx - u[k, 1]:mx - u[k, 1] + px] = p[k]
+    return out, u
+
+
 def plan_sep(psf, shape, zb=8, tol=1e-6, max_rank=4, vmem_budget=None,
-             sigma=(0, 0)):
+             sigma=(0, 0), rolls_z=None, align=False):
     """Plan the separable conv of a compact PSF on grid ``shape``
     (z, y, x). Returns a :class:`SepPlan` or None when the kernel/grid
     does not qualify. The PSF is sum-normalized like ``gen_otf``.
@@ -205,15 +249,34 @@ def plan_sep(psf, shape, zb=8, tol=1e-6, max_rank=4, vmem_budget=None,
     ``sigma`` = (sy, sx) frame shift: the planned conv maps an input
     rolled by f to an output rolled by f + sigma along that axis (see
     :class:`SepPlan`); each axis goes banded when its shifted band fits
-    an aligned 2-tile window, else dense (correct for any sigma)."""
+    an aligned 2-tile window, else dense (correct for any sigma).
+
+    ``rolls_z``: optional (pz, 2) int array parallel to the PSF z axis —
+    slab k of the given (already recentered) PSF stands for the true
+    slab shifted by (+uy, +ux); the kernel re-applies the shift as an
+    exact per-tap xy roll at the z FMA. ``align=True`` computes it
+    internally via :func:`slab_align` — the route that makes TILTED
+    measured PSFs (reference:src/decon_sv.cpp:51-54 feeds measured PSF
+    files) low-rank: each z slab is recentered on its own integer mass
+    centroid, so any smooth drift of the PSF core through z (linear
+    light-sheet tilt or a curved focal trace) is absorbed by the rolls
+    instead of inflating the separation rank."""
     nz, ny, nx = shape
     psf = np.asarray(psf, np.float64)
     if psf.ndim != 3 or not sep_grid_supported(shape, zb):
         return None
+    if align:
+        if rolls_z is not None:
+            raise ValueError("align=True computes rolls_z internally")
+        psf, rolls_z = slab_align(psf)
     tot = psf.sum()
     if not np.isfinite(tot) or tot <= 0:
         return None
     psf = psf / tot
+    rolls_z = (np.zeros((psf.shape[0], 2), np.int64) if rolls_z is None
+               else np.asarray(rolls_z, np.int64))
+    if rolls_z.shape != (psf.shape[0], 2):
+        raise ValueError("rolls_z must be (psf_z, 2)")
 
     # genOTF's oversized-PSF path center-crops to the FFT grid with
     # alignsize offsets and re-centers at grid//2 — which shifts
@@ -223,15 +286,24 @@ def plan_sep(psf, shape, zb=8, tol=1e-6, max_rank=4, vmem_budget=None,
     # grid index o_lo + (t - i_lo), displacement = that - f//2.
     sls, (offz, offy, offx) = _crop_offsets(psf.shape, shape)
     psf = psf[sls]
+    rolls_z = rolls_z[sls[0]]
+
+    # trim the y/x box to its mass support (recentered/oversized canvases
+    # carry zero margins that would otherwise defeat the band windows)
+    ylo, yhi = _support_1d(np.abs(psf).sum(axis=(0, 2)), tol * 1e-2)
+    xlo, xhi = _support_1d(np.abs(psf).sum(axis=(0, 1)), tol * 1e-2)
+    psf = psf[:, ylo:yhi, xlo:xhi]
+    offy, offx = offy[ylo:yhi], offx[xlo:xhi]
 
     # compact z support (absolute indices) around the center convention
     mz = np.abs(psf).sum(axis=(1, 2))
     zlo, zhi = _support_1d(mz, tol * 1e-2)
     d_min, d_max = int(offz[zlo]), int(offz[zhi - 1])
     a, b = max(d_max, 0), max(-d_min, 0)
-    if a > zb or b > zb:
-        return None
+    if a + b + 1 > nz:
+        return None   # z reach wider than the (circular) volume
     nsteps = a + b + 1
+    lb = -(-b // zb)  # future slabs the emit must wait for
 
     dec = _decompose(psf[zlo:zhi], tol, max_rank)
     if dec is None:
@@ -239,17 +311,24 @@ def plan_sep(psf, shape, zb=8, tol=1e-6, max_rank=4, vmem_budget=None,
     terms, _err = dec
     rank = len(terms)
 
-    # VMEM bound: rolling buffers (2*zb + a rows per rank) + pipeline
-    # blocks (in/out/aux double-buffered) + the asm/acc temporaries
+    # VMEM bound: raw-slab history window ((lb+1)*zb + a rows — the
+    # generalized tail/prev/cur pipeline, so z-support is NOT capped at
+    # zb, and rank-INDEPENDENT since the z FMA runs before the xy conv)
+    # + pipeline blocks (in/out/aux double-buffered) + the acc/zsum/roll
+    # temporaries + the circulant constants
     row = ny * nx * 4
-    need = rank * (2 * zb + a) * row + 6 * zb * row + (zb + nsteps) * row
-    budget = vmem_budget if vmem_budget is not None else _VMEM_LIMIT
-    if need > budget * 0.9:
-        return None
+    hist = (lb + 1) * zb + a
 
     sy, sx = int(sigma[0]), int(sigma[1])
     bx = _band_t0(offx + sx, nx)
     by = _band_t0(offy + sy, ny)
+
+    cxb = 2 * rank * 4 * (nx * 2 * _T if bx is not None else nx * nx)
+    cyb = 2 * rank * 4 * (ny * 2 * _T if by is not None else ny * ny)
+    need = (hist + 6 * zb + 4 * zb + nsteps) * row + cxb + cyb
+    budget = vmem_budget if vmem_budget is not None else _VMEM_LIMIT
+    if need > budget * 0.9:
+        return None
 
     def build(taps, offs, s, n, t0, left):
         c = _circulant(taps, offs + s, n)
@@ -262,14 +341,21 @@ def plan_sep(psf, shape, zb=8, tol=1e-6, max_rank=4, vmem_budget=None,
     cx = [build(kx, offx, sx, nx, bx, False) for _kz, _ky, kx in terms]
     cy = [build(ky, offy, sy, ny, by, True) for _kz, ky, _kx in terms]
     tz = np.zeros((rank, nsteps), np.float32)
+    rolls = np.zeros((nsteps, 2), np.int64)
     for r, (kz, _ky, _kx) in enumerate(terms):
         # out[q] = sum_s tz[s] * asm[q + s] with asm row q+s = xy row
         # (w - a + s): s = a - d  ->  tz[s] = kz at d = a - s
         for idx in range(zlo, zhi):
             d = int(offz[idx])
             tz[r, a - d] += kz[idx - zlo]
+            rolls[a - d] = rolls_z[idx]
+    # torus rolls: keep the representative nearest zero
+    rolls = (rolls + np.array([ny, nx]) // 2) % np.array([ny, nx]) \
+        - np.array([ny, nx]) // 2
+    rolls_t = (tuple((int(dy), int(dx)) for dy, dx in rolls)
+               if rolls.any() else None)
 
-    meta = (zb, a, b, rank, nsteps, nz // zb, bx, by, sy, sx)
+    meta = (zb, a, b, rank, nsteps, nz // zb, bx, by, sy, sx, rolls_t)
     return SepPlan(
         jnp.asarray(np.stack([h for h, _ in cx])),
         jnp.asarray(np.stack([l for _, l in cx])),
@@ -278,26 +364,28 @@ def plan_sep(psf, shape, zb=8, tol=1e-6, max_rank=4, vmem_budget=None,
         jnp.asarray(tz), meta)
 
 
-def plan_sep_pair(psf, psf_bp, shape, zb=8, tol=1e-6, max_rank=4,
-                  vmem_budget=None):
-    """Plan the RL projector PAIR with per-axis frame shifts chosen so
-    BOTH stages run banded: the forward conv gets sigma = +s (its
-    shifted band is causal, window tiles [j-1, j]) and the back
-    projector sigma = -s (anticausal, window [j, j+1]), with
-    s = max(a_fwd, b_bp) per axis so the round trip returns to frame 0 —
-    only the constant image needs one pre-roll by (sy, sx).
+def _mass_bands(p, shape, tol=1e-6):
+    """Per-axis (back, fwd) displacement reach of the MASS support of
+    ``p`` on ``shape`` (zero canvas margins ignored, like plan_sep)."""
+    sls, offs = _crop_offsets(np.shape(p), shape)
+    q = np.abs(np.asarray(p, np.float64)[sls])
+    out = []
+    for ax, o in enumerate(offs):
+        m = q.sum(axis=tuple(i for i in range(3) if i != ax))
+        lo, hi = _support_1d(m, tol * 1e-2)
+        o = o[lo:hi]
+        out.append((max(-int(o.min()), 0), max(int(o.max()), 0))
+                   if o.size else (0, 0))
+    return out
 
-    Returns (fwd_plan, bp_plan) or None when either stage fails
-    :func:`plan_sep`."""
+
+def _plan_pair_arrays(psf, psf_bp, shape, zb, tol, max_rank, vmem_budget,
+                      rz1=None, rz2=None):
+    """plan_sep_pair's inner worker for one (psf, psf_bp[, rolls])
+    candidate: picks the banded frame shifts and tries the zb ladder."""
     nz, ny, nx = shape
-
-    def bands(p):
-        sls, offs = _crop_offsets(np.shape(p), shape)
-        return [(max(-int(o.min()), 0), max(int(o.max()), 0))
-                if o.size else (0, 0) for o in offs]
-
-    (_, _), (ay1, by1), (ax1, bx1) = bands(psf)
-    (_, _), (ay2, by2), (ax2, bx2) = bands(psf_bp)
+    (_, _), (ay1, by1), (ax1, bx1) = _mass_bands(psf, shape, tol)
+    (_, _), (ay2, by2), (ax2, bx2) = _mass_bands(psf_bp, shape, tol)
 
     def pick(a1, b1, a2, b2, n):
         s = max(a1, b2)
@@ -307,20 +395,78 @@ def plan_sep_pair(psf, psf_bp, shape, zb=8, tol=1e-6, max_rank=4,
 
     sx = pick(ax1, bx1, ax2, bx2, nx)
     sy = pick(ay1, by1, ay2, by2, ny)
-    fwd = plan_sep(psf, shape, zb=zb, tol=tol, max_rank=max_rank,
-                   vmem_budget=vmem_budget, sigma=(sy, sx))
-    if fwd is None:
-        return None
-    bp = plan_sep(psf_bp, shape, zb=zb, tol=tol, max_rank=max_rank,
-                  vmem_budget=vmem_budget, sigma=(-sy, -sx))
-    if bp is None:
-        return None
-    return fwd, bp
+    for zb_c in ((8, 4) if zb is None else (zb,)):
+        if not sep_grid_supported(shape, zb_c):
+            continue
+        fwd = plan_sep(psf, shape, zb=zb_c, tol=tol, max_rank=max_rank,
+                       vmem_budget=vmem_budget, sigma=(sy, sx),
+                       rolls_z=rz1)
+        if fwd is None:
+            continue
+        bp = plan_sep(psf_bp, shape, zb=zb_c, tol=tol, max_rank=max_rank,
+                      vmem_budget=vmem_budget, sigma=(-sy, -sx),
+                      rolls_z=rz2)
+        if bp is not None:
+            return fwd, bp
+    return None
+
+
+def plan_sep_pair(psf, psf_bp, shape, zb=None, tol=1e-6, max_rank=4,
+                  vmem_budget=None):
+    """Plan the RL projector PAIR with per-axis frame shifts chosen so
+    BOTH stages run banded: the forward conv gets sigma = +s (its
+    shifted band is causal, window tiles [j-1, j]) and the back
+    projector sigma = -s (anticausal, window [j, j+1]), with
+    s = max(a_fwd, b_bp) per axis so the round trip returns to frame 0 —
+    only the constant image needs one pre-roll by (sy, sx).
+
+    ``zb`` None tries slab heights (8, 4) in order — tall z supports
+    at big xy grids only fit the VMEM history window at zb=4.
+
+    Both the raw projectors and their :func:`slab_align` recentered
+    forms are tried, and the LOWER total separation rank wins (ties
+    favor raw — no per-tap rolls at the emit): tilted measured PSFs
+    (VERDICT r3 #1) plan at the straight-PSF rank this way. Returns
+    (fwd_plan, bp_plan) or None when every candidate fails
+    :func:`plan_sep`."""
+    p1 = np.asarray(psf, np.float64)
+    p2 = np.asarray(psf_bp, np.float64)
+    cands = [(p1, None, p2, None)]
+    a1, rz1 = slab_align(p1)
+    a2, rz2 = slab_align(p2)
+    if rz1.any() or rz2.any():
+        cands.append((a1, rz1, a2, rz2))
+    best = None
+    for q1, r1, q2, r2 in cands:
+        pair = _plan_pair_arrays(q1, q2, shape, zb, tol, max_rank,
+                                 vmem_budget, r1, r2)
+        if pair is None:
+            continue
+        rank = pair[0].meta[3] + pair[1].meta[3]
+        if best is None or rank < best[0]:
+            best = (rank, pair)
+    return None if best is None else best[1]
 
 
 # --------------------------------------------------------------------------
 # kernel
 # --------------------------------------------------------------------------
+
+def _roll_xy(m, dy, dx):
+    """Static circular roll of the trailing (y, x) axes of value ``m``
+    by slice+concat (jnp.roll traces a closed_call, which the Mosaic
+    pallas lowering rejects)."""
+    for ax, d in ((m.ndim - 2, dy), (m.ndim - 1, dx)):
+        d %= m.shape[ax]
+        if d:
+            sl_hi = [slice(None)] * m.ndim
+            sl_lo = [slice(None)] * m.ndim
+            sl_hi[ax] = slice(m.shape[ax] - d, None)
+            sl_lo[ax] = slice(None, m.shape[ax] - d)
+            m = jnp.concatenate([m[tuple(sl_hi)], m[tuple(sl_lo)]],
+                                axis=ax)
+    return m
+
 
 def _win2(m, lo_tile, nt, axis):
     """2-tile (256-wide) window starting at tile ``lo_tile`` (mod nt)
@@ -358,27 +504,45 @@ def _xy_conv(row, r, cxh_ref, cxl_ref, cyh_ref, cyl_ref, bx, by):
 
 
 def _kernel(v_ref, aux_ref, cxh_ref, cxl_ref, cyh_ref, cyl_ref, tz_ref,
-            o_ref, cur_ref, prev_ref, tail_ref, *,
-            zb, a, b, rank, nsteps, bx, by, mode, smallvalue):
+            o_ref, hist_ref, *, zb, a, b, rank, nsteps, la, lb, bx, by,
+            rolls, mode, smallvalue):
+    """Software-pipelined step: shift the RAW slab history window down
+    one slab, copy the incoming slab to its top, and — once the window
+    covers the emit slab's full z reach — emit output slab
+    ``i - la - lb``: per rank, the z FMA over the window (each tap's
+    block optionally rolled in xy by the PSF's per-slab drift ``rolls``,
+    see plan_sep) followed by ONE xy conv per output row.
+    ``la/lb = ceil(a/zb) / ceil(b/zb)`` warmup and lookahead slab counts
+    generalize the round-3 tail/prev/cur pipeline to arbitrary z support
+    (VERDICT r3 #1b). The z-FMA-first order is exact because xy
+    circulants commute with the per-tap rolls, and it keeps the history
+    window rank-independent (raw slabs shared by all rank terms)."""
     i = pl.program_id(0)
+    h = (lb + 1) * zb + a   # history rows (raw input slabs)
 
-    for r in range(rank):
-        # per-z-row 2D matmuls measure FASTER than one batched
-        # (zb*ny, nx) x-pass (24.7 vs 23.3 ms/iter at 512^3) — the
-        # reshape materializes and breaks x/y pass interleaving
-        for dz in range(zb):
-            cur_ref[r, dz] = _xy_conv(v_ref[dz], r, cxh_ref, cxl_ref,
-                                      cyh_ref, cyl_ref, bx, by)
+    if h > zb:
+        hist_ref[0:h - zb] = hist_ref[zb:h]
+    hist_ref[h - zb:h] = v_ref[...]
 
-    @pl.when(i >= 2)
+    @pl.when(i >= la + lb)
     def _emit():
+        # emit slab j = i - la - lb: its rows j*zb - a .. j*zb+zb-1+b sit
+        # at history offsets 0 .. zb-1+nsteps-1 after this step's shift
         acc = jnp.zeros((zb,) + v_ref.shape[1:], jnp.float32)
         for r in range(rank):
-            asm = jnp.concatenate(
-                ([tail_ref[r]] if a else []) + [prev_ref[r]]
-                + ([cur_ref[r, :b]] if b else []), axis=0)
+            zsum = jnp.zeros((zb,) + v_ref.shape[1:], jnp.float32)
             for s in range(nsteps):
-                acc += tz_ref[r, s] * asm[s:s + zb]
+                blk = hist_ref[s:s + zb]
+                dy, dx = rolls[s] if rolls else (0, 0)
+                if dy or dx:
+                    blk = _roll_xy(blk, dy, dx)
+                zsum = zsum + tz_ref[r, s] * blk
+            # per-z-row 2D matmuls measure FASTER than one batched
+            # (zb*ny, nx) x-pass (24.7 vs 23.3 ms/iter at 512^3) — the
+            # reshape materializes and breaks x/y pass interleaving
+            rows = [_xy_conv(zsum[dz], r, cxh_ref, cxl_ref, cyh_ref,
+                             cyl_ref, bx, by) for dz in range(zb)]
+            acc = acc + jnp.stack(rows)
         if mode == "ratio":
             out = aux_ref[...] / acc
         elif mode == "update":
@@ -387,20 +551,19 @@ def _kernel(v_ref, aux_ref, cxh_ref, cxl_ref, cyh_ref, cyl_ref, tz_ref,
             out = acc
         o_ref[...] = out
 
-    for r in range(rank):
-        if a:
-            tail_ref[r] = prev_ref[r, zb - a:]
-        prev_ref[r] = cur_ref[r]
-
 
 @partial(jax.jit, static_argnames=("meta", "mode", "smallvalue", "interpret"))
 def _conv3_sep(v, aux, cxh, cxl, cyh, cyl, tz, meta, mode, smallvalue,
                interpret):
     nz, ny, nx = v.shape
     zb, a, b, rank, nsteps, g, bx, by = meta[:8]
-    in_spec = pl.BlockSpec((zb, ny, nx), lambda i: ((i + g - 1) % g, 0, 0),
+    rolls = meta[10] if len(meta) > 10 else None
+    la, lb = -(-a // zb), -(-b // zb)
+    lag = la + lb
+    in_spec = pl.BlockSpec((zb, ny, nx),
+                           lambda i: ((i + g - la) % g, 0, 0),
                            memory_space=pltpu.VMEM)
-    out_map = lambda i: (jnp.maximum(i - 2, 0), 0, 0)  # noqa: E731
+    out_map = lambda i: (jnp.maximum(i - lag, 0), 0, 0)  # noqa: E731
     aux_spec = pl.BlockSpec((zb, ny, nx), out_map, memory_space=pltpu.VMEM)
 
     def const_spec(arr):
@@ -409,8 +572,9 @@ def _conv3_sep(v, aux, cxh, cxl, cyh, cyl, tz, meta, mode, smallvalue,
 
     return pl.pallas_call(
         partial(_kernel, zb=zb, a=a, b=b, rank=rank, nsteps=nsteps,
-                bx=bx, by=by, mode=mode, smallvalue=smallvalue),
-        grid=(g + 2,),
+                la=la, lb=lb, bx=bx, by=by, rolls=rolls, mode=mode,
+                smallvalue=smallvalue),
+        grid=(g + lag,),
         in_specs=[in_spec, aux_spec,
                   const_spec(cxh), const_spec(cxl),
                   const_spec(cyh), const_spec(cyl),
@@ -420,9 +584,7 @@ def _conv3_sep(v, aux, cxh, cxl, cyh, cyl, tz, meta, mode, smallvalue,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rank, zb, ny, nx), jnp.float32),
-            pltpu.VMEM((rank, zb, ny, nx), jnp.float32),
-            pltpu.VMEM((rank, max(a, 1), ny, nx), jnp.float32),
+            pltpu.VMEM(((lb + 1) * zb + a, ny, nx), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -468,8 +630,13 @@ def plan_rl_fused(psf, psf_bp, shape, tol=1e-6, max_rank=4,
         if pair is None:
             continue
         pf, pb = pair
-        _, a1, b1, r1, n1, g, bx1, by1, sy, sx = pf.meta
-        _, a2, b2, r2, n2, _, bx2, by2, _, _ = pb.meta
+        _, a1, b1, r1, n1, g, bx1, by1, sy, sx, ro1 = pf.meta
+        _, a2, b2, r2, n2, _, bx2, by2, _, _, ro2 = pb.meta
+        if max(a1, b1, a2, b2) > zb or ro1 is not None or ro2 is not None:
+            # the fused kernel keeps the round-3 two-slab (tail/prev/cur)
+            # xy-at-arrival layout; tall z supports and per-tap-rolled
+            # (recentered tilted) plans run the generalized two-call path
+            continue
         # est/img/out pipelines (2 blocks each) + est ring (2) + both
         # stages' rolling buffers + assembly/acc/ratio temporaries
         need = row * (8 * zb

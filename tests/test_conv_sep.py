@@ -80,13 +80,91 @@ def test_plan_rejections(rng):
     g9 = gauss3((9, 9, 9), (1.5, 1.5, 1.5))
     assert plan_sep(g9, (16, 16, 100)) is None        # nx % 128 != 0
     assert plan_sep(g9, (15, 16, 128)) is None        # nz % zb != 0
-    # z support > zb on a grid that fits it (no gen_otf-style crop)
-    assert plan_sep(gauss3((21, 5, 5), (4.0, 1.0, 1.0)), (32, 16, 128)) is None
+    # round 4 removed the a,b <= zb support cap (see test_long_z_support)
+    # but a history window that cannot fit the VMEM budget stays refused
+    assert plan_sep(gauss3((21, 5, 5), (4.0, 1.0, 1.0)), (32, 16, 128),
+                    vmem_budget=1 << 18) is None
     noise = rng.random((9, 9, 9)).astype(np.float32)  # full rank
     assert plan_sep(noise, SHAPE) is None
     assert plan_sep(np.zeros((5, 5, 5), np.float32), SHAPE) is None
     # non-separable-but-low-rank is accepted when rank <= max_rank covers it
     assert plan_sep(g9 + 1e-3 * np.roll(g9, 1, 0), SHAPE) is not None
+
+
+@pytest.mark.parametrize("shape,psf_shape,zb", [
+    ((32, 16, 128), (21, 5, 5), 8),    # la = lb = 2 lookahead
+    ((32, 16, 128), (17, 5, 5), 4),    # a = b = 8 at zb 4 (la = lb = 2)
+    ((24, 16, 128), (31, 5, 5), 8),    # z reach 15 vs nz 24 (la = lb = 2)
+], ids=["z21", "z17-zb4", "z31"])
+def test_long_z_support(rng, shape, psf_shape, zb):
+    """The generalized history-window pipeline (VERDICT r3 #1b): z
+    supports beyond one slab — the class the round-3 kernel refused —
+    stay exact vs the FFT oracle, including circular z wrap."""
+    psf = gauss3(psf_shape, (psf_shape[0] / 5.0, 1.0, 1.0))
+    plan = plan_sep(psf, shape, zb=zb)
+    assert plan is not None
+    v = (rng.random(shape) * 100).astype(np.float32)
+    ref = fft_conv(v, psf, shape)
+    out = np.asarray(conv3_sep(jnp.asarray(v), plan))
+    np.testing.assert_allclose(out, ref, atol=2e-5 * np.abs(ref).max())
+
+
+def tilted_gauss(p, sl=4.0, ss=1.2, st=1.2, plane="zx"):
+    """Anisotropic Gaussian tilted 45 deg in ``plane`` — the realistic
+    light-sheet detection-PSF class the round-3 planner refused
+    (VERDICT r3 #1: measured diSPIM PSFs are tilted with z extents well
+    beyond one slab)."""
+    z = np.arange(p[0]) - p[0] // 2
+    y = np.arange(p[1]) - p[1] // 2
+    x = np.arange(p[2]) - p[2] // 2
+    zz, yy, xx = np.meshgrid(z, y, x, indexing="ij")
+    g = xx if plane == "zx" else yy
+    t = yy if plane == "zx" else xx
+    u, w = (g + zz) / np.sqrt(2.0), (g - zz) / np.sqrt(2.0)
+    k = np.exp(-u ** 2 / (2 * sl ** 2) - w ** 2 / (2 * ss ** 2)
+               - t ** 2 / (2 * st ** 2))
+    return (k / k.sum()).astype(np.float32)
+
+
+@pytest.mark.parametrize("plane", ["zx", "zy"])
+def test_tilted_psf_slab_align_conv(rng, plane):
+    """Tilted-PSF planning (VERDICT r3 #1): slab_align recentering +
+    per-tap emit rolls plan a 45-deg anisotropic Gaussian with 17-voxel
+    z extent at low rank, and the conv stays exact vs the FFT oracle."""
+    from microimagelib_tpu.ops.conv_sep import slab_align
+
+    shape = (32, 32, 128) if plane == "zx" else (32, 128, 128)
+    psf = tilted_gauss((17, 9, 25) if plane == "zx" else (17, 25, 9),
+                       plane=plane)
+    _, rz = slab_align(psf)
+    assert rz.any()   # the drift really is fitted
+    plan = plan_sep(psf, shape, align=True, tol=1e-4)
+    assert plan is not None
+    assert plan.meta[10] is not None   # per-tap rolls active
+    v = (rng.random(shape) * 100).astype(np.float32)
+    ref = fft_conv(v, psf, shape)
+    out = np.asarray(conv3_sep(jnp.asarray(v), plan))
+    np.testing.assert_allclose(out, ref, atol=2e-4 * np.abs(ref).max())
+
+
+def test_tilted_pair_prefers_aligned_rank(rng):
+    """plan_sep_pair tries both raw and slab-aligned candidates and
+    keeps the lower-rank one; for a strongly tilted pair that is the
+    aligned plan (rolls present), and the banded round-trip contract
+    (sigma_bp = -sigma_fwd) still holds."""
+    psf = tilted_gauss((17, 9, 25))
+    bp = np.ascontiguousarray(psf[::-1, ::-1, ::-1])
+    pair = plan_sep_pair(psf, bp, (32, 32, 256), tol=1e-4)
+    assert pair is not None
+    fwd, bpp = pair
+    assert fwd.meta[10] is not None and bpp.meta[10] is not None
+    assert (fwd.meta[8], fwd.meta[9]) == (-bpp.meta[8], -bpp.meta[9])
+    v = (rng.random((32, 32, 256)) * 100).astype(np.float32)
+    ref = fft_conv(v, psf, (32, 32, 256))
+    out = np.asarray(conv3_sep(jnp.asarray(v), fwd))
+    np.testing.assert_allclose(
+        out, np.roll(ref, (fwd.meta[8], fwd.meta[9]), axis=(1, 2)),
+        atol=2e-4 * np.abs(ref).max())
 
 
 def _rl_ref(img, psf, psf_bp, n_iters, dual_b=None, psf_b=None,
@@ -116,6 +194,30 @@ def test_rl_single_sep_matches_fft(rng, monkeypatch, const_initial, fused):
     out = np.asarray(rl_decon_single(jnp.asarray(img), None, None, 5,
                                      const_initial, psf=psf))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4 * ref.max())
+
+
+def test_rl_single_sep_tilted_psf(rng, monkeypatch):
+    """End-to-end RL decon with a TILTED measured-class PSF takes the
+    slab-aligned separable route (no explicit tol/env tuning — the
+    default tol cascade accepts it) and matches the FFT-path RL to the
+    decon-level tolerance (VERDICT r3 #1: the headline path must apply
+    to the reference's realistic PSF class)."""
+    shape = (32, 32, 128)
+    img = (rng.random(shape) * 100 + 1).astype(np.float32)
+    psf = tilted_gauss((17, 9, 25))
+    bp = np.ascontiguousarray(psf[::-1, ::-1, ::-1])
+    ref = _rl_ref(img, psf, bp, 4)
+    monkeypatch.setenv("MIL_CONV_SEP", "1")  # force off-TPU (interpret)
+    from microimagelib_tpu.models import deconvolution as dc
+
+    monkeypatch.setattr(dc, "_SEP_PLAN_CACHE", {})
+    out = np.asarray(rl_decon_single(jnp.asarray(img), None, None, 4,
+                                     psf=psf))
+    # the sep route really was taken (cache holds a planned pair)
+    route = next(iter(dc._SEP_PLAN_CACHE.values()))[0]
+    assert route is not None and route[0] == "pair"
+    assert route[1][0].meta[10] is not None
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=5e-4 * ref.max())
 
 
 def test_rl_single_sep_unmatched_bp(rng, monkeypatch):
@@ -149,8 +251,10 @@ def test_rl_dual_sep_matches_fft(rng, monkeypatch, fused):
                                    (64, 8, 128)])
 def test_rl_iter_fused_matches_two_call(rng, shape):
     """The one-pallas-call RL iteration equals the composed
-    ratio/update two-call path exactly — same circulants, same taps —
-    across grid sizes incl. the g=2 full-wrap case."""
+    ratio/update two-call path — same circulants, same taps; only the
+    z-FMA/xy-matmul rounding ORDER differs (the two-call kernel runs
+    z-first since round 4) — across grid sizes incl. the g=2 full-wrap
+    case."""
     psf = gauss3((9, 9, 9), (1.5, 1.2, 1.8))
     bp = np.ascontiguousarray(psf[::-1, ::-1, ::-1])
     est = jnp.asarray((rng.random(shape) * 100 + 1).astype(np.float32))
@@ -162,7 +266,7 @@ def test_rl_iter_fused_matches_two_call(rng, shape):
     ref = np.asarray(conv3_sep(ratio, pb, aux=est, mode="update",
                                smallvalue=0.01))
     out = np.asarray(rl_iter_fused(est, img, fused))
-    np.testing.assert_allclose(out, ref, atol=2e-6 * np.abs(ref).max())
+    np.testing.assert_allclose(out, ref, atol=2e-5 * np.abs(ref).max())
 
 
 def test_rl_fused_plan_rejects_when_vmem_tight(rng):
@@ -183,7 +287,7 @@ def test_rl_fused_plan_rejects_when_vmem_tight(rng):
     ref = np.asarray(conv3_sep(ratio, pb, aux=est, mode="update",
                                smallvalue=0.01))
     out = np.asarray(rl_iter_fused(est, img, tight))
-    np.testing.assert_allclose(out, ref, atol=2e-6 * np.abs(ref).max())
+    np.testing.assert_allclose(out, ref, atol=2e-5 * np.abs(ref).max())
     # rank-4 pair still fits at this small shape
     r4 = gauss3((7, 9, 11), (1.0, 1.5, 2.0)) \
         + 0.3 * gauss3((7, 9, 11), (2.0, 1.0, 0.8))
@@ -211,15 +315,15 @@ def test_banded_pair_plan_layout(rng):
     psf = _asym_psf(rng)
     bp = np.ascontiguousarray(psf[::-1, ::-1, ::-1])
     fwd, bpp = plan_sep_pair(psf, bp, BANDED_SHAPE)
-    _, _, _, rank, _, _, bx, by, sy, sx = fwd.meta
+    _, _, _, rank, _, _, bx, by, sy, sx, _ = fwd.meta
     assert (bx, by) == (-1, -1) and sx > 0 and sy > 0
     assert fwd.cxh.shape == (rank, 2, 256, 128)
     assert fwd.cyh.shape == (rank, 2, 128, 256)
-    _, _, _, _, _, _, bx2, by2, sy2, sx2 = bpp.meta
+    _, _, _, _, _, _, bx2, by2, sy2, sx2, _ = bpp.meta
     assert (bx2, by2) == (0, 0) and (sy2, sx2) == (-sy, -sx)
     # standalone plans stay dense (sigma 0 cannot band a centered PSF)
     solo = plan_sep(psf, BANDED_SHAPE)
-    assert solo.meta[6:] == (None, None, 0, 0)
+    assert solo.meta[6:] == (None, None, 0, 0, None)
     assert solo.cxh.shape == (solo.meta[3], 256, 256)
 
 
