@@ -255,7 +255,7 @@ def fusion_step_multichip(mesh, imgs_a, imgs_b, otf_a, otf_b, otf_bp_a, otf_bp_b
 # --------------------------------------------------------------------------
 
 def reg3d_affine_sharded(mesh, img1, img2, aff_method=1, ftol=1e-4,
-                         it_limit=3000, verbose=False):
+                         it_limit=3000, verbose=False, stats=None):
     """Affine registration where BOTH volumes stay z-sharded across the
     mesh through the entire Powell DOF-ladder search: a volume pair that
     only fits across chips can now be REGISTERED on the mesh, not just
@@ -272,7 +272,10 @@ def reg3d_affine_sharded(mesh, img1, img2, aff_method=1, ftol=1e-4,
     (hops, full_gather) — probes escalate windows only when they must.
 
     Returns (registered (numpy, gathered), tmx12, records) with the
-    reg3d_affine records contract."""
+    reg3d_affine records contract. ``stats``, if a dict, receives
+    ``cost_fn_keys`` — the set of (hops, full_gather) windows the search
+    actually compiled — so tests can assert the escalation/all_gather
+    branches really fired."""
     import time as _time
 
     from jax.sharding import NamedSharding
@@ -409,6 +412,8 @@ def reg3d_affine_sharded(mesh, img1, img2, aff_method=1, ftol=1e-4,
     records[3] = -fret
     records[5] = n_evals
     records[6] = _time.time() - t_iter0
+    if stats is not None:
+        stats["cost_fn_keys"] = set(fns.keys())
 
     # final transform, still sharded: each device resamples its output
     # z-block from a bounded source window
