@@ -665,10 +665,15 @@ def _corr3d_partials_nprobe_impl(src, tgt, m12s, interpret, k_mode, rows):
 
     if k_mode != "cascade":
         ss, st, fit = run(int(k_mode))
+        if int(k_mode) >= max(sy, sz):
+            return ss, st
         return mixed(ss, st, fit)
 
     k64_bytes = 2 * 4 * min(64, sz) * min(64 + rows, sy) * sxp
     have64 = k64_bytes <= 12 * 1024 * 1024
+    # K >= max(sy, sz) clamps the window to the whole volume and always
+    # fits — prune unreachable tiers (see _corr3d_partials_pallas_impl)
+    cover = max(sy, sz)
 
     span_x = jnp.float32(sx - 1)
     y_need = (jnp.abs(m12s[:, 4]) * span_x
@@ -683,20 +688,36 @@ def _corr3d_partials_nprobe_impl(src, tgt, m12s, interpret, k_mode, rows):
         if not have64:
             return gather_all(None)
         ss, st, fit = run(64)
+        if 64 >= cover:
+            return ss, st
         return mixed(ss, st, fit)
 
     def tier32(_):
         ss, st, fit = run(32)
+        if 32 >= cover:
+            return ss, st
         return lax.cond(fit.all(), lambda _: (ss, st), tier64, None)
 
     def tier16(_):
         ss, st, fit = run(16)
+        if 16 >= cover:
+            return ss, st
         return lax.cond(fit.all(), lambda _: (ss, st), tier32, None)
 
     def tier8(_):
         ss, st, fit = run(8)
+        if 8 >= cover:
+            return ss, st
         return lax.cond(fit.all(), lambda _: (ss, st), tier16, None)
 
+    if cover <= 8:
+        return tier8(None)
+    if cover <= 16:
+        return lax.cond(need <= 8, tier8, tier16, None)
+    if cover <= 32:
+        return lax.cond(
+            need <= 8, tier8,
+            lambda _: lax.cond(need <= 16, tier16, tier32, None), None)
     return lax.cond(
         need <= 8, tier8,
         lambda _: lax.cond(
@@ -763,10 +784,15 @@ def _corr3d_grad_pallas_impl(src, tgt, tmx, interpret, k_mode, rows):
 
     if k_mode != "cascade":
         ss, st, gs, gt, fit = run(int(k_mode))
+        if int(k_mode) >= max(sy, sz):
+            return ss, st, gs, gt
         return lax.cond(fit, lambda _: (ss, st, gs, gt), gather, None)
 
     k64_bytes = 2 * 4 * min(64, sz) * min(64 + rows, sy) * sxp
     have64 = k64_bytes <= 12 * 1024 * 1024
+    # K >= max(sy, sz) clamps the window to the whole volume and always
+    # fits — prune unreachable tiers (see _corr3d_partials_pallas_impl)
+    cover = max(sy, sz)
 
     span_x = jnp.float32(sx - 1)
     y_need = (jnp.abs(tmx[4]) * span_x
@@ -782,20 +808,36 @@ def _corr3d_grad_pallas_impl(src, tgt, tmx, interpret, k_mode, rows):
         if not have64:
             return gather(None)
         ss, st, gs, gt, fit = run(64)
+        if 64 >= cover:
+            return ss, st, gs, gt
         return lax.cond(fit, lambda _: (ss, st, gs, gt), gather, None)
 
     def tier32(_):
         ss, st, gs, gt, fit = run(32)
+        if 32 >= cover:
+            return ss, st, gs, gt
         return lax.cond(fit, lambda _: (ss, st, gs, gt), tier64, None)
 
     def tier16(_):
         ss, st, gs, gt, fit = run(16)
+        if 16 >= cover:
+            return ss, st, gs, gt
         return lax.cond(fit, lambda _: (ss, st, gs, gt), tier32, None)
 
     def tier8(_):
         ss, st, gs, gt, fit = run(8)
+        if 8 >= cover:
+            return ss, st, gs, gt
         return lax.cond(fit, lambda _: (ss, st, gs, gt), tier16, None)
 
+    if cover <= 8:
+        return tier8(None)
+    if cover <= 16:
+        return lax.cond(need <= 8, tier8, tier16, None)
+    if cover <= 32:
+        return lax.cond(
+            need <= 8, tier8,
+            lambda _: lax.cond(need <= 16, tier16, tier32, None), None)
     return lax.cond(
         need <= 8, tier8,
         lambda _: lax.cond(
@@ -881,6 +923,15 @@ def _corr3d_partials_pallas_impl(src, tgt, tmx, interpret, k_mode, rows):
         k64_bytes = 2 * 4 * min(64, sz) * min(64 + rows, sy) * sxp
         have64 = k64_bytes <= 12 * 1024 * 1024
 
+        # A tier with K >= max(sy, sz) clamps its window to the WHOLE
+        # volume (kz_n = min(K, sz), ky_row = min(K, sy)) and therefore
+        # always fits — tiers above it and the gather fallback are
+        # unreachable. Prune the chain there: small volumes (pyramid
+        # coarse levels, tests) compile 1-2 tiers instead of 4 + gather
+        # (every unreachable tier costs XLA compile time, and on the
+        # tunneled TPU minutes-scale device program load).
+        cover = max(sy, sz)
+
         # The block box grants a +1-row-per-row y allowance (ky_n = K +
         # rows), so the EXCESS drift per row is |m11 - 1| — for m11 near
         # -1 (mirror-like probes) the drift is ~2 rows/row, which
@@ -903,20 +954,36 @@ def _corr3d_partials_pallas_impl(src, tgt, tmx, interpret, k_mode, rows):
             if not have64:
                 return gather(None)
             ss64, st64, fit64 = run(64)
+            if 64 >= cover:
+                return ss64, st64
             return lax.cond(fit64, lambda _: (ss64, st64), gather, None)
 
         def tier32(_):
             ss32, st32, fit32 = run(32)
+            if 32 >= cover:
+                return ss32, st32
             return lax.cond(fit32, lambda _: (ss32, st32), tier64, None)
 
         def tier16(_):
             ss16, st16, fit16 = run(16)
+            if 16 >= cover:
+                return ss16, st16
             return lax.cond(fit16, lambda _: (ss16, st16), tier32, None)
 
         def tier8(_):
             ss8, st8, fit8 = run(8)
+            if 8 >= cover:
+                return ss8, st8
             return lax.cond(fit8, lambda _: (ss8, st8), tier16, None)
 
+        if cover <= 8:
+            return tier8(None)
+        if cover <= 16:
+            return lax.cond(need <= 8, tier8, tier16, None)
+        if cover <= 32:
+            return lax.cond(
+                need <= 8, tier8,
+                lambda _: lax.cond(need <= 16, tier16, tier32, None), None)
         return lax.cond(
             need <= 8, tier8,
             lambda _: lax.cond(
@@ -926,4 +993,6 @@ def _corr3d_partials_pallas_impl(src, tgt, tmx, interpret, k_mode, rows):
             None)
 
     ss, st, all_fit = run(int(k_mode))
+    if int(k_mode) >= max(sy, sz):
+        return ss, st
     return lax.cond(all_fit, lambda _: (ss, st), gather, None)

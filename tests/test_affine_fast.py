@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from microimagelib_tpu.ops.affine import corr3d_partials
 from microimagelib_tpu.ops.affine_fast import corr3d_partials_mxu
@@ -61,16 +62,19 @@ def test_anisotropic_shape():
 
 
 def test_pallas_fallback_uses_unpadded_extents():
-    # sx=96 forces zero-padding to 128 lanes; the 40-degree rotation forces
-    # the gather fallback. The fallback must evaluate over the TRUE extents:
+    # sx=96 forces zero-padding to 128 lanes; the 40-degree rotation's
+    # z footprint (~sin40*95 >> kz) forces the gather fallback at the
+    # pinned K=8 tier (pinned because the cascade now prunes to an
+    # always-fitting K>=max(sy,sz) tier, which would bypass the
+    # fallback). The fallback must evaluate over the TRUE extents:
     # padded columns can map back into real data (s nonzero, t == 0) and
     # inflate sum(s^2) by ~50% (round-1 advisor finding).
     from microimagelib_tpu.ops.pallas_corr import corr3d_partials_pallas
 
-    src, tgt = vols((16, 16, 96), seed=7)
+    src, tgt = vols((8, 16, 96), seed=7)
     m = dof_to_matrix([2.0, -1.0, 0.5, 40.0, 0, 0, 1, 1, 1], 6)
     ss_g, st_g = corr3d_partials(src, tgt, m)
-    ss_p, st_p = corr3d_partials_pallas(src, tgt, m, interpret=True)
+    ss_p, st_p = corr3d_partials_pallas(src, tgt, m, interpret=True, k_mode=8)
     np.testing.assert_allclose(float(ss_p), float(ss_g), rtol=2e-4)
     np.testing.assert_allclose(float(st_p), float(st_g), rtol=2e-4)
 
@@ -81,13 +85,17 @@ def test_pallas_per_row_footprint_overflow():
     # (K rows) does not — the kernel must flag no-fit and take the gather
     # fallback instead of silently zero-weighting out-of-window samples
     # (round-1 advisor finding: 27% error without the per-row check).
+    # K=16 pinned: at K=16 the block box (K+rows >= sy) fits but the
+    # per-row window (16 rows < the ~21-row shear span) does not — the
+    # cascade would otherwise prune straight to the always-fitting K=32.
     from microimagelib_tpu.ops.pallas_corr import corr3d_partials_pallas
 
-    src, tgt = vols((16, 32, 32), seed=11)
+    src, tgt = vols((8, 32, 32), seed=11)
     m = identity_tmx()
     m[4], m[5], m[7] = 0.65, 0.1, 1.0  # cy = 0.65*x + 0.1*y + 1
     ss_g, st_g = corr3d_partials(src, tgt, m)
-    ss_p, st_p = corr3d_partials_pallas(src, tgt, m, interpret=True)
+    ss_p, st_p = corr3d_partials_pallas(src, tgt, m, interpret=True,
+                                        k_mode=16)
     np.testing.assert_allclose(float(ss_p), float(ss_g), rtol=2e-4)
     np.testing.assert_allclose(float(st_p), float(st_g), rtol=2e-4)
 
@@ -95,7 +103,7 @@ def test_pallas_per_row_footprint_overflow():
 def test_pallas_interpret_matches_gather():
     from microimagelib_tpu.ops.pallas_corr import corr3d_partials_pallas
 
-    src, tgt = vols((16, 16, 32), seed=5)
+    src, tgt = vols((8, 16, 32), seed=5)
     for m in (identity_tmx(),
               dof_to_matrix([1.5, -0.5, 0.8, 3.0, -2.0, 4.0, 1.05, 0.97, 1.02], 9),
               dof_to_matrix([0, 0, 0, 40.0, 0, 0, 1, 1, 1], 6)):
@@ -128,8 +136,10 @@ def test_pallas_tier_selection_fuzz():
 def test_nprobe_batch_matches_gather():
     """The N-probe kernel (one union-footprint box per block shared by
     every probe) must equal per-matrix gather partials — including a
-    wild probe whose footprint forces the gather fallback inside the
-    batch."""
+    wild probe whose footprint forces the per-member gather fallback
+    inside the batch (K=8 pinned so the 35-degree probe overflows the
+    window; the cascade would otherwise prune to an always-fitting
+    tier and compile minutes of unreachable branches)."""
     from microimagelib_tpu.ops.pallas_corr import corr3d_partials_nprobe
 
     src, tgt = vols((16, 16, 32), seed=9)
@@ -143,7 +153,8 @@ def test_nprobe_batch_matches_gather():
     mats.append(np.asarray(
         dof_to_matrix([0, 0, 0, 35.0, 0, 0, 1, 1, 1], 6), np.float32))
     mats = jnp.asarray(np.stack(mats))
-    ss_b, st_b = corr3d_partials_nprobe(src, tgt, mats, interpret=True)
+    ss_b, st_b = corr3d_partials_nprobe(src, tgt, mats, interpret=True,
+                                        k_mode=8)
     for i in range(mats.shape[0]):
         ss_g, st_g = corr3d_partials(src, tgt, mats[i])
         np.testing.assert_allclose(float(ss_b[i]), float(ss_g), rtol=5e-4)
@@ -151,6 +162,7 @@ def test_nprobe_batch_matches_gather():
                                    atol=1e-3)
 
 
+@pytest.mark.slow
 def test_nprobe_tier_fuzz():
     """Random 9-DOF probe batches: the batch cascade starts at the
     WORST analytic tier over the batch and must stay exact for every

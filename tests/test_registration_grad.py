@@ -22,7 +22,7 @@ def _blobs(shape, n=12, seed=0, sigma=2.0):
     return ndimage.gaussian_filter(vol, sigma)
 
 
-def _pair(shape=(24, 32, 28), seed=7, angle=3.0, shift=(1.2, -1.5, 0.8)):
+def _pair(shape=(16, 24, 20), seed=7, angle=3.0, shift=(1.2, -1.5, 0.8)):
     vol = _blobs(shape, n=14, seed=seed)
     th = np.deg2rad(angle)
     rot = np.array([[np.cos(th), -np.sin(th), 0],
@@ -41,8 +41,8 @@ def test_grad_kernel_matches_xla_autodiff():
     )
 
     rng = np.random.default_rng(0)
-    src = jnp.asarray(rng.random((16, 16, 32)).astype(np.float32))
-    tgt = jnp.asarray(rng.random((16, 16, 32)).astype(np.float32))
+    src = jnp.asarray(rng.random((8, 16, 32)).astype(np.float32))
+    tgt = jnp.asarray(rng.random((8, 16, 32)).astype(np.float32))
     for tmx in (
         np.array([1, 0, 0, 0.6, 0, 1, 0, -0.8, 0, 0, 1, 0.3], np.float32),
         np.array([0.99, 0.05, 0, 0.2, -0.05, 0.99, 0, 0.1,
