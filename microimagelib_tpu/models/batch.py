@@ -220,6 +220,79 @@ def _flush_group(group, otfs, mesh, cfg, emit_outputs, log_path):
                    f"{time.time() - t_dec:2.3f} s\n")
 
 
+def _build_fused_apply_tp(cfg, shape_a, shape_b, get_otfs):
+    """ONE jitted program for an apply-only timepoint (the regMode 0/1
+    steady state): isotropize A, rotate+isotropize B, apply the transform
+    matrix, pad, joint RL decon, crop, 2D MPs and rotating MIPs — all
+    device-resident in a single dispatch. The unfused chain issues ~8
+    programs per timepoint, each paying ~0.1-0.2 s of dispatch/transfer
+    latency on the tunneled TPU (BASELINE.md machine model); the
+    reference runs the same chain as separate kernels + synchronous
+    memcpys per timepoint (reference:src/spim_fusion_batch.cpp:613-627).
+    Returns (fused_fn, tgt_zyx); fused_fn(a_in, b_in, tmx12) -> dict of
+    device arrays (decon + requested reg/MP/MIP outputs)."""
+    import jax
+
+    from microimagelib_tpu.models.deconvolution import (
+        _accel_env,
+        _fft_impl,
+        _rl_dual,
+        _stop_env,
+    )
+    from microimagelib_tpu.models.fusion import fusion_sizes
+    from microimagelib_tpu.models.projections import _mp2d_flat, mip3d_frames
+    from microimagelib_tpu.ops.basics import crop_center, rot_by_y_axis
+    from microimagelib_tpu.ops.fft_matmul import mm_precision
+    from microimagelib_tpu.ops.resample import resize3d_separable
+
+    size_a = (shape_a[2], shape_a[1], shape_a[0])
+    size_b = (shape_b[2], shape_b[1], shape_b[0])
+    tgt_xyz, b_xyz, op_choice = fusion_sizes(size_a, size_b, cfg.pixel1,
+                                             cfg.pixel2, cfg.im_rotation)
+    tgt_zyx = (tgt_xyz[2], tgt_xyz[1], tgt_xyz[0])
+    b_zyx = (b_xyz[2], b_xyz[1], b_xyz[0])
+    grid = _fft_grid(tgt_zyx)
+    otfs = get_otfs(grid)
+    impl = _fft_impl(grid, otfs["otf1"])
+    prec = mm_precision()
+    accel = _accel_env()
+    stop = _stop_env(None)
+    mp_any = cfg.save_mp_z or cfg.save_mp_x or cfg.save_mp_y
+
+    @jax.jit
+    def fused(a_in, b_in, tmx12):
+        a = (a_in if tuple(a_in.shape) == tgt_zyx
+             else resize3d_separable(a_in, tgt_zyx))
+        b = b_in
+        if op_choice != 0:
+            b = rot_by_y_axis(b, 1 if op_choice == 1 else -1)
+        if tuple(b.shape) != b_zyx:
+            b = resize3d_separable(b, b_zyx)
+        reg_b = affine_transform_3d(b, tmx12, tgt_zyx)
+        pad_a = _prep_pad(a, grid)
+        pad_b = _prep_pad(reg_b, grid)
+        est = _rl_dual(pad_a, pad_b, otfs["otf1"], otfs["otf2"],
+                       otfs["bp1"], otfs["bp2"], cfg.it_num_decon, False,
+                       impl, prec, accel, stop)
+        if tuple(est.shape) != tgt_zyx:
+            est = crop_center(est, tgt_zyx)
+        out = {"decon": est}
+        if cfg.save_reg_a:
+            out["reg_a"] = a
+        if cfg.save_reg_b:
+            out["reg_b"] = reg_b
+        if mp_any:
+            out["mp"] = _mp2d_flat(est, cfg.save_mp_z, cfg.save_mp_x,
+                                   cfg.save_mp_y)
+        if cfg.save_3d_x:
+            out["mip_x"] = mip3d_frames(est, 1, 36, impl="factored")
+        if cfg.save_3d_y:
+            out["mip_y"] = mip3d_frames(est, 2, 36, impl="factored")
+        return out
+
+    return fused, tgt_zyx
+
+
 def spim_fusion_batch(cfg: BatchConfig, mesh=None):
     """Run the batch pipeline. Returns the list of processed timepoints.
 
@@ -406,6 +479,61 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
     # single-chip decon grouping: MIL_BATCH_GROUP timepoints per vmapped
     # dispatch (1 = per-timepoint, the reference-faithful default)
     group_size = max(1, int(os.environ.get("MIL_BATCH_GROUP", "1")))
+
+    # --- fused apply-only fast path (regMode 0/1 steady state): ONE
+    # device program per timepoint, with one-deep pipelining — the host
+    # fetch + TIFF writes of timepoint t overlap the device compute of
+    # t+1 (outputs are fetched asynchronously right after dispatch) ---
+    fused_state: dict = {}
+    in_flight = None
+
+    def _collect_fused(slot):
+        t_out, outs, t0_tp = slot
+        dec = np.asarray(outs["decon"])
+        sz_o, sy_o, sx_o = dec.shape
+        write_async(writetifstack,
+                    os.path.join(paths["decon"], f"Decon_{t_out}.tif"),
+                    dec, cfg.bit_per_sample)
+        if "reg_a" in outs:
+            write_async(writetifstack,
+                        os.path.join(paths["reg_a"], f"{cfg.name1}reg_{t_out}.tif"),
+                        np.asarray(outs["reg_a"]), cfg.bit_per_sample)
+        if "reg_b" in outs:
+            write_async(writetifstack,
+                        os.path.join(paths["reg_b"], f"{cfg.name2}reg_{t_out}.tif"),
+                        np.asarray(outs["reg_b"]), cfg.bit_per_sample)
+        if "mp" in outs:
+            flat = np.asarray(outs["mp"])
+            off = 0
+            if cfg.save_mp_z:
+                write_async(writetifstack,
+                            os.path.join(paths["mp_xy"], f"MP_XY_{t_out}.tif"),
+                            flat[off:off + sy_o * sx_o].reshape(sy_o, sx_o),
+                            cfg.bit_per_sample)
+                off += sy_o * sx_o
+            if cfg.save_mp_x:
+                write_async(writetifstack,
+                            os.path.join(paths["mp_yz"], f"MP_YZ_{t_out}.tif"),
+                            flat[off:off + sz_o * sy_o].reshape(sz_o, sy_o),
+                            cfg.bit_per_sample)
+                off += sz_o * sy_o
+            if cfg.save_mp_y:
+                write_async(writetifstack,
+                            os.path.join(paths["mp_zx"], f"MP_ZX_{t_out}.tif"),
+                            flat[off:off + sx_o * sz_o].reshape(sx_o, sz_o),
+                            cfg.bit_per_sample)
+        if "mip_x" in outs:
+            write_async(writetifstack,
+                        os.path.join(paths["mp3d_x"], f"MP_3D_Xaxis_{t_out}.tif"),
+                        np.asarray(outs["mip_x"]), cfg.bit_per_sample)
+        if "mip_y" in outs:
+            write_async(writetifstack,
+                        os.path.join(paths["mp3d_y"], f"MP_3D_Yaxis_{t_out}.tif"),
+                        np.asarray(outs["mip_y"]), cfg.bit_per_sample)
+        dt = time.time() - t0_tp
+        _log(log_path, f"...Time cost for current image is {dt:2.3f} s\n")
+        if cfg.verbose:
+            print(f"...Time cost for current image is {dt:2.3f} s")
     for idx, t in enumerate(timepoints):
         t0 = time.time()
         if cfg.overlap_io:
@@ -424,6 +552,32 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
         if cfg.verbose:
             print(f"\n*** Image time point number: {t} ")
         _log(log_path, f"\n*** Image time point number: {t} \n... Registration...\n")
+
+        if (reg_mode == 0 and tmx_apply is not None and mesh is None
+                and group_size == 1 and env_on("MIL_BATCH_FUSED", True)):
+            key = (np.shape(a_in), np.shape(b_in))
+            if fused_state.get("key") != key:
+                fused_state["key"] = key
+                fused_state["fn"], _ = _build_fused_apply_tp(
+                    cfg, key[0], key[1], get_otfs)
+                fused_state["tmx"] = jnp.asarray(
+                    np.asarray(tmx_apply, np.float32))
+            outs = fused_state["fn"](jnp.asarray(a_in, jnp.float32),
+                                     jnp.asarray(b_in, jnp.float32),
+                                     fused_state["tmx"])
+            for v in outs.values():
+                try:
+                    v.copy_to_host_async()  # fetch overlaps next dispatch
+                except Exception:  # backend without async D2H: sync later
+                    break
+            write_tmx(os.path.join(paths["tmx"], f"Matrix_{t}.tmx"),
+                      np.asarray(tmx_apply, np.float32).copy())
+            _log(log_path, "\t... fused apply+decon+MIP program\n")
+            if in_flight is not None:
+                _collect_fused(in_flight)
+            in_flight = (t, outs, t0)
+            processed.append(t)
+            continue
 
         # device-resident fast path: the rotate/resample/transform/decon/
         # MIP chain stays on device; host round trips between stages cost
@@ -549,6 +703,9 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
         if cfg.verbose:
             print(f"...Time cost for current image is {time.time() - t0:2.3f} s")
 
+    if in_flight is not None:
+        _collect_fused(in_flight)
+        in_flight = None
     if group:
         if mesh is not None:
             _flush_group(group, otf_state, mesh, cfg, emit_outputs, log_path)

@@ -266,9 +266,15 @@ def _rotate_and_mip_all_factored(img, mats, out_shape, r_axis, chunk, prec,
     key = (sz, sy, sx, mats.shape[0], r_axis, chunk)
     hit = _FACTORED_TABLE_CACHE.get(key)
     if hit is None:
-        was, wbs = _factored_tables(jnp.asarray(mats), zo, na, nb, po,
-                                    chunk, r_axis)
-        if env_on("MIL_MIP_TABLE_CACHE", True):
+        # eager even under an ambient trace (the batch driver's fused
+        # per-timepoint program embeds this call): the tables are
+        # image-independent constants — building them inside the trace
+        # would recompute them every call AND leak tracers into the cache
+        with jax.ensure_compile_time_eval():
+            was, wbs = _factored_tables(jnp.asarray(mats), zo, na, nb, po,
+                                        chunk, r_axis)
+        if (env_on("MIL_MIP_TABLE_CACHE", True)
+                and not isinstance(was, jax.core.Tracer)):
             from microimagelib_tpu.utils.device import free_memory_mb
 
             free_mb = free_memory_mb()
@@ -283,14 +289,13 @@ def _rotate_and_mip_all_factored(img, mats, out_shape, r_axis, chunk, prec,
     return _factored_contract(img, was, wbs, r_axis, prec, fgroup)
 
 
-def mip3d(img, r_axis, project_num=36):
-    """Rotating 3D MIP movie about the X (r_axis=1) or Y (r_axis=2) axis
-    (``mip3dgpu``, reference:src/apifunc.cpp:576-644).
-
-    img: (z, y, x). Returns a (project_num, H, W) stack:
-      r_axis=1 -> H = round(hypot(sy, sz)), W = sx
-      r_axis=2 -> H = sr=sy rows? matches reference layout (imRotation, sy)
-    """
+def mip3d_frames(img, r_axis, project_num=36, impl=None):
+    """Device-resident :func:`mip3d`: returns the (project_num, H, W)
+    frame stack as a jax array with no host fetch, so callers (the batch
+    driver's fused per-timepoint program) can chain further device work
+    or fetch asynchronously. ``impl`` overrides the MIL_MIP_IMPL route
+    (None = env/auto). Traceable under jit for fixed shapes: the route
+    selection and factored-table build run at trace time on the host."""
     img = jnp.asarray(img, jnp.float32)
     sz, sy, sx = img.shape
     if r_axis == 1:
@@ -339,7 +344,8 @@ def mip3d(img, r_axis, project_num=36):
 
         free_mb = free_memory_mb()
         cap = (3 << 30) if free_mb < 0 else int(free_mb * 1048576 * 0.6 / 2)
-    impl = os.environ.get("MIL_MIP_IMPL", "auto")
+    if impl is None:
+        impl = os.environ.get("MIL_MIP_IMPL", "auto")
     if impl == "auto":
         # speed crossover (measured on v5e): big-W wins at batch-class
         # shapes (W ~0.3 GB, 0.18 s/36 frames); the factored form wins at
@@ -374,14 +380,27 @@ def mip3d(img, r_axis, project_num=36):
         prec = {"high": jax.lax.Precision.HIGH,
                 "highest": jax.lax.Precision.HIGHEST}[
                     os.environ.get("MIL_MIP_PRECISION", "high")]
+        # mats stays numpy: under an ambient trace jnp.asarray would wrap
+        # it in a tracer and defeat the eager table build/cache below
         frames = _rotate_and_mip_all_factored(
-            img, jnp.asarray(mats), out_shape, r_axis, chunk, prec, fgroup)
+            img, mats, out_shape, r_axis, chunk, prec, fgroup)
     elif impl == "matmul" and passthrough:
         frames = _rotate_and_mip_all_matmul(img, jnp.asarray(mats),
                                             out_shape, r_axis)
     else:
         frames = _rotate_and_mip_all(img, jnp.asarray(mats), out_shape)
-    return np.asarray(frames)
+    return frames
+
+
+def mip3d(img, r_axis, project_num=36):
+    """Rotating 3D MIP movie about the X (r_axis=1) or Y (r_axis=2) axis
+    (``mip3dgpu``, reference:src/apifunc.cpp:576-644).
+
+    img: (z, y, x). Returns a (project_num, H, W) numpy stack:
+      r_axis=1 -> H = round(hypot(sy, sz)), W = sx
+      r_axis=2 -> H = sr=sy rows? matches reference layout (imRotation, sy)
+    """
+    return np.asarray(mip3d_frames(img, r_axis, project_num))
 
 
 def mp3d(img, x_axis=True, y_axis=True, project_num=36):

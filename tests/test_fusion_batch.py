@@ -405,6 +405,61 @@ def test_spim_fusion_batch_u16_end_to_end(tmp_path):
             np.testing.assert_array_equal(u16, _float_to_u16_c_cast(f32))
 
 
+def test_batch_fused_tp_matches_unfused(tmp_path, monkeypatch):
+    """The fused one-program timepoint path (MIL_BATCH_FUSED, default on
+    for apply-only regModes) produces the same decon/reg/MP/MIP outputs
+    as the stage-by-stage chain — on the realistic workload where the
+    fused program really does resample (anisotropic z), rotate
+    (imgRotation=-1) and apply a non-identity matrix."""
+    psf = gaussian_psf((5, 5, 5), 1.0)
+
+    def run(sub, fused):
+        root = tmp_path / sub
+        root.mkdir()
+        in1 = root / "SPIMA"
+        in2 = root / "SPIMB"
+        in1.mkdir()
+        in2.mkdir()
+        for t in range(3):
+            vol = blobs((8, 16, 16), n=6, seed=20 + t)
+            writetifstack(str(in1 / f"SPIMA_{t}.tif"), vol, 32)
+            writetifstack(str(in2 / f"SPIMB_{t}.tif"),
+                          np.transpose(vol, (2, 1, 0)).copy(), 32)
+        writetifstack(str(root / "psf.tif"), psf, 32)
+        out = root / "out"
+        cfg = BatchConfig(
+            out_dir=str(out), in_dir1=str(in1), in_dir2=str(in2),
+            name1="SPIMA_", name2="SPIMB_",
+            img_start=0, img_end=2, img_interval=1, img_test=0,
+            pixel1=(1.0, 1.0, 2.0), pixel2=(1.0, 1.0, 2.0),
+            reg_mode=1, im_rotation=-1, flag_initial_tmx=0, tmx_file="",
+            ftol=1e-3, it_limit=200, save_reg_a=True, save_reg_b=True,
+            psf1_file=str(root / "psf.tif"), psf2_file=str(root / "psf.tif"),
+            it_num_decon=3, save_mp_z=True, save_mp_y=True, save_mp_x=True,
+            save_3d_x=True, save_3d_y=True, bit_per_sample=32,
+            query_device=False, device_num=0, verbose=False)
+        monkeypatch.setenv("MIL_BATCH_FUSED", fused)
+        return out, spim_fusion_batch(cfg)
+
+    out1, done1 = run("fused", "1")
+    out0, done0 = run("unfused", "0")
+    assert done1 == done0 == [0, 1, 2]
+    rel = [("Decon", "Decon_{t}.tif"),
+           ("RegA", "SPIMA_reg_{t}.tif"),
+           ("RegB", "SPIMB_reg_{t}.tif"),
+           ("Decon/MP_ZProj", "MP_XY_{t}.tif"),
+           ("Decon/MP_XProj", "MP_YZ_{t}.tif"),
+           ("Decon/MP_YProj", "MP_ZX_{t}.tif"),
+           ("Decon/MP_3D_Xaxis", "MP_3D_Xaxis_{t}.tif"),
+           ("Decon/MP_3D_Yaxis", "MP_3D_Yaxis_{t}.tif")]
+    for t in done1:
+        for d, name in rel:
+            f = name.format(t=t)
+            a, _ = readtifstack(str(out1 / d / f))
+            b, _ = readtifstack(str(out0 / d / f))
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4), (d, f)
+
+
 def test_batch_group_single_chip_matches(tmp_path, monkeypatch):
     """MIL_BATCH_GROUP>1 (one vmapped decon dispatch per group) produces
     the same outputs as the per-timepoint path (round-2 verdict #7),
