@@ -240,7 +240,13 @@ def _build_fused_apply_tp(cfg, shape_a, shape_b, get_otfs):
         _stop_env,
     )
     from microimagelib_tpu.models.fusion import fusion_sizes
-    from microimagelib_tpu.models.projections import _mp2d_flat, mip3d_frames
+    from microimagelib_tpu.models.projections import (
+        _factored_contract,
+        _mp2d_flat,
+        mip3d_factored_plan,
+        mip3d_frames,
+        mip3d_params,
+    )
     from microimagelib_tpu.ops.basics import crop_center, rot_by_y_axis
     from microimagelib_tpu.ops.fft_matmul import mm_precision
     from microimagelib_tpu.ops.resample import resize3d_separable
@@ -259,8 +265,30 @@ def _build_fused_apply_tp(cfg, shape_a, shape_b, get_otfs):
     stop = _stop_env(None)
     mp_any = cfg.save_mp_z or cfg.save_mp_x or cfg.save_mp_y
 
+    # every device buffer the program consumes rides in as an ARGUMENT
+    # pytree, never a closed-over constant: jit lowering embeds captured
+    # arrays as MLIR literals via a host fetch — tens of MB of MIP tap
+    # tables would bloat the HLO, and on axon the c64 OTF fetch raises
+    # UNIMPLEMENTED outright (complex host<->device transfers are
+    # unsupported there, BASELINE.md env facts)
+    bufs = {k: otfs[k] for k in ("otf1", "otf2", "bp1", "bp2")}
+    mip_plans = {}
+    for r_axis, want, key in ((1, cfg.save_3d_x, "mip_x"),
+                              (2, cfg.save_3d_y, "mip_y")):
+        if not want:
+            continue
+        p = mip3d_params(tgt_zyx, r_axis, 36, impl="factored")
+        if p["impl"] == "factored":
+            was, wbs = mip3d_factored_plan(tgt_zyx, p["mats"],
+                                           p["out_shape"], r_axis,
+                                           p["chunk"])
+            bufs[key] = (was, wbs)
+            mip_plans[key] = (r_axis, p["prec"], p["fgroup"])
+        else:  # non-passthrough mats cannot happen for rot_to_matrix;
+            mip_plans[key] = (r_axis, None, None)  # gather fallback
+
     @jax.jit
-    def fused(a_in, b_in, tmx12):
+    def fused(a_in, b_in, tmx12, bufs):
         a = (a_in if tuple(a_in.shape) == tgt_zyx
              else resize3d_separable(a_in, tgt_zyx))
         b = b_in
@@ -271,8 +299,8 @@ def _build_fused_apply_tp(cfg, shape_a, shape_b, get_otfs):
         reg_b = affine_transform_3d(b, tmx12, tgt_zyx)
         pad_a = _prep_pad(a, grid)
         pad_b = _prep_pad(reg_b, grid)
-        est = _rl_dual(pad_a, pad_b, otfs["otf1"], otfs["otf2"],
-                       otfs["bp1"], otfs["bp2"], cfg.it_num_decon, False,
+        est = _rl_dual(pad_a, pad_b, bufs["otf1"], bufs["otf2"],
+                       bufs["bp1"], bufs["bp2"], cfg.it_num_decon, False,
                        impl, prec, accel, stop)
         if tuple(est.shape) != tgt_zyx:
             est = crop_center(est, tgt_zyx)
@@ -284,13 +312,16 @@ def _build_fused_apply_tp(cfg, shape_a, shape_b, get_otfs):
         if mp_any:
             out["mp"] = _mp2d_flat(est, cfg.save_mp_z, cfg.save_mp_x,
                                    cfg.save_mp_y)
-        if cfg.save_3d_x:
-            out["mip_x"] = mip3d_frames(est, 1, 36, impl="factored")
-        if cfg.save_3d_y:
-            out["mip_y"] = mip3d_frames(est, 2, 36, impl="factored")
+        for key, (r_axis, mprec, fgroup) in mip_plans.items():
+            if mprec is not None:
+                was, wbs = bufs[key]
+                out[key] = _factored_contract(est, was, wbs, r_axis,
+                                              mprec, fgroup)
+            else:
+                out[key] = mip3d_frames(est, r_axis, 36)
         return out
 
-    return fused, tgt_zyx
+    return (lambda a_in, b_in, tmx12: fused(a_in, b_in, tmx12, bufs)), tgt_zyx
 
 
 def spim_fusion_batch(cfg: BatchConfig, mesh=None):

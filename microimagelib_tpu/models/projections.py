@@ -239,6 +239,41 @@ def _factored_contract(img, was, wbs, r_axis, prec, fgroup=1):
 _FACTORED_TABLE_CACHE = {}
 
 
+def mip3d_factored_plan(shape_zyx, mats, out_shape, r_axis, chunk):
+    """Image-independent half of the factored MIP: the per-frame 2-tap
+    tables for a fixed (volume shape, rotation stack, chunk). Built
+    EAGERLY (jax.ensure_compile_time_eval) and cached, so traced callers
+    get concrete device arrays they can pass as jit ARGUMENTS — the batch
+    driver's fused timepoint program must not close over them (closure
+    capture embeds tens of MB as MLIR literal constants, and the
+    embedding host-fetch is what axon's c64 restriction breaks on for
+    captured OTFs). ``mats`` must be numpy. Returns (was, wbs)."""
+    sz, sy, sx = shape_zyx
+    zo = out_shape[0]
+    if r_axis == 2:
+        po, na, nb = out_shape[2], sz, sx
+    else:
+        po, na, nb = out_shape[1], sz, sy
+    key = (sz, sy, sx, mats.shape[0], r_axis, chunk)
+    hit = _FACTORED_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with jax.ensure_compile_time_eval():
+        was, wbs = _factored_tables(jnp.asarray(mats), zo, na, nb, po,
+                                    chunk, r_axis)
+    if (env_on("MIL_MIP_TABLE_CACHE", True)
+            and not isinstance(was, jax.core.Tracer)):
+        from microimagelib_tpu.utils.device import free_memory_mb
+
+        free_mb = free_memory_mb()
+        tbytes = (was.size + wbs.size) * 4
+        if free_mb < 0 or tbytes <= free_mb * 1048576 * 0.25:
+            while len(_FACTORED_TABLE_CACHE) >= 2:
+                _FACTORED_TABLE_CACHE.pop(next(iter(_FACTORED_TABLE_CACHE)))
+            _FACTORED_TABLE_CACHE[key] = (was, wbs)
+    return was, wbs
+
+
 def _rotate_and_mip_all_factored(img, mats, out_shape, r_axis, chunk, prec,
                                  fgroup=1):
     """Factored Wa(.)Wb form of the matmul MIP for fusion-class shapes,
@@ -257,47 +292,19 @@ def _rotate_and_mip_all_factored(img, mats, out_shape, r_axis, chunk, prec,
     driver calls this every timepoint with the same geometry
     (MIL_MIP_TABLE_CACHE=0 disables; at most 2 entries, and only when
     the tables fit in a quarter of free HBM)."""
-    sz, sy, sx = img.shape
-    zo = out_shape[0]
-    if r_axis == 2:
-        po, na, nb = out_shape[2], sz, sx
-    else:
-        po, na, nb = out_shape[1], sz, sy
-    key = (sz, sy, sx, mats.shape[0], r_axis, chunk)
-    hit = _FACTORED_TABLE_CACHE.get(key)
-    if hit is None:
-        # eager even under an ambient trace (the batch driver's fused
-        # per-timepoint program embeds this call): the tables are
-        # image-independent constants — building them inside the trace
-        # would recompute them every call AND leak tracers into the cache
-        with jax.ensure_compile_time_eval():
-            was, wbs = _factored_tables(jnp.asarray(mats), zo, na, nb, po,
-                                        chunk, r_axis)
-        if (env_on("MIL_MIP_TABLE_CACHE", True)
-                and not isinstance(was, jax.core.Tracer)):
-            from microimagelib_tpu.utils.device import free_memory_mb
-
-            free_mb = free_memory_mb()
-            tbytes = (was.size + wbs.size) * 4
-            if free_mb < 0 or tbytes <= free_mb * 1048576 * 0.25:
-                while len(_FACTORED_TABLE_CACHE) >= 2:
-                    _FACTORED_TABLE_CACHE.pop(
-                        next(iter(_FACTORED_TABLE_CACHE)))
-                _FACTORED_TABLE_CACHE[key] = (was, wbs)
-    else:
-        was, wbs = hit
+    was, wbs = mip3d_factored_plan(img.shape, mats, out_shape, r_axis,
+                                   chunk)
     return _factored_contract(img, was, wbs, r_axis, prec, fgroup)
 
 
-def mip3d_frames(img, r_axis, project_num=36, impl=None):
-    """Device-resident :func:`mip3d`: returns the (project_num, H, W)
-    frame stack as a jax array with no host fetch, so callers (the batch
-    driver's fused per-timepoint program) can chain further device work
-    or fetch asynchronously. ``impl`` overrides the MIL_MIP_IMPL route
-    (None = env/auto). Traceable under jit for fixed shapes: the route
-    selection and factored-table build run at trace time on the host."""
-    img = jnp.asarray(img, jnp.float32)
-    sz, sy, sx = img.shape
+def mip3d_params(shape_zyx, r_axis, project_num=36, impl=None):
+    """Host-side route + parameter selection for the rotating MIP at a
+    fixed volume shape: returns a dict with 'impl', 'mats' (numpy),
+    'out_shape', and — for the factored route — 'chunk'/'prec'/'fgroup'.
+    Shared by :func:`mip3d_frames` and the batch driver's fused
+    per-timepoint program (which pre-builds the factored tables from
+    these params and passes them as jit arguments)."""
+    sz, sy, sx = shape_zyx
     if r_axis == 1:
         sr = sx
         im_rot = int(round(math.hypot(sy, sz)))
@@ -359,11 +366,12 @@ def mip3d_frames(img, r_axis, project_num=36, impl=None):
             impl = "matmul"
         else:
             impl = "factored"
+    params = {"out_shape": out_shape, "mats": mats}
     if impl == "factored" and passthrough:
+        params["impl"] = "factored"
         # chunk sized so the rows*na*chunk*po intermediate stays under
         # ~1/4 of the big-W cap (same budget the matmul path respects)
-        zo, po = (out_shape[0],
-                  out_shape[2] if r_axis == 2 else out_shape[1])
+        po = out_shape[2] if r_axis == 2 else out_shape[1]
         rows = sy if r_axis == 2 else sx
         na = sz
         per_z = rows * na * po * 4
@@ -371,25 +379,43 @@ def mip3d_frames(img, r_axis, project_num=36, impl=None):
         # sequential-op count scales with 1/(fgroup*chunk) (the per-op
         # issue floor dominates at batch-class shapes); frames batch
         # first, leftover budget widens the z' chunk
-        fgroup = max(1, min(int(mats.shape[0]), budget,
-                            int(os.environ.get("MIL_MIP_FGROUP", "36"))))
-        chunk = max(1, min(32, budget // fgroup))
+        params["fgroup"] = max(1, min(int(mats.shape[0]), budget,
+                                      int(os.environ.get("MIL_MIP_FGROUP",
+                                                         "36"))))
+        params["chunk"] = max(1, min(32, budget // params["fgroup"]))
         # bf16x3 ('high') matmuls: ~3e-6 relative error on the 2-4-term
         # bilinear sums — far below the reference's 8-bit-fraction CUDA
         # texture weights — for ~2x the MXU rate at these class sizes
-        prec = {"high": jax.lax.Precision.HIGH,
-                "highest": jax.lax.Precision.HIGHEST}[
-                    os.environ.get("MIL_MIP_PRECISION", "high")]
-        # mats stays numpy: under an ambient trace jnp.asarray would wrap
-        # it in a tracer and defeat the eager table build/cache below
-        frames = _rotate_and_mip_all_factored(
-            img, mats, out_shape, r_axis, chunk, prec, fgroup)
+        params["prec"] = {"high": jax.lax.Precision.HIGH,
+                          "highest": jax.lax.Precision.HIGHEST}[
+                              os.environ.get("MIL_MIP_PRECISION", "high")]
     elif impl == "matmul" and passthrough:
-        frames = _rotate_and_mip_all_matmul(img, jnp.asarray(mats),
-                                            out_shape, r_axis)
+        params["impl"] = "matmul"
     else:
-        frames = _rotate_and_mip_all(img, jnp.asarray(mats), out_shape)
-    return frames
+        params["impl"] = "gather"
+    return params
+
+
+def mip3d_frames(img, r_axis, project_num=36, impl=None):
+    """Device-resident :func:`mip3d`: returns the (project_num, H, W)
+    frame stack as a jax array with no host fetch, so callers (the batch
+    driver's fused per-timepoint program) can chain further device work
+    or fetch asynchronously. ``impl`` overrides the MIL_MIP_IMPL route
+    (None = env/auto). Traceable under jit for fixed shapes: the route
+    selection and factored-table build run at trace time on the host."""
+    img = jnp.asarray(img, jnp.float32)
+    p = mip3d_params(img.shape, r_axis, project_num, impl)
+    mats, out_shape = p["mats"], p["out_shape"]
+    if p["impl"] == "factored":
+        # mats stays numpy: under an ambient trace jnp.asarray would wrap
+        # it in a tracer and defeat the eager table build/cache
+        return _rotate_and_mip_all_factored(
+            img, mats, out_shape, r_axis, p["chunk"], p["prec"],
+            p["fgroup"])
+    if p["impl"] == "matmul":
+        return _rotate_and_mip_all_matmul(img, jnp.asarray(mats),
+                                          out_shape, r_axis)
+    return _rotate_and_mip_all(img, jnp.asarray(mats), out_shape)
 
 
 def mip3d(img, r_axis, project_num=36):
