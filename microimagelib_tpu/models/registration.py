@@ -863,7 +863,7 @@ def _reg_stats(src_base, tgt):
 
 def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
                  it_limit=3000, verbose=False, records=None, device=None,
-                 engine="auto", mem_mode=-1):
+                 engine="auto", mem_mode=-1, *, want_reg=True):
     """Core 3D affine registration (``reg3d_affine1``,
     reference:src/api_subfunc.cu:2732-2994).
 
@@ -944,7 +944,23 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
         records[7] = time.time() - t_start
         if verbose:
             print("\t... no registration performed!")
-        return np.asarray(reg), out_tmx, records
+        if not want_reg:
+            reg = None
+        elif want_reg != "device":
+            reg = np.asarray(reg)
+        return reg, out_tmx, records
+
+    def _finish_reg(aff_coef):
+        """Final full-volume transform of the source — skipped (None) for
+        ``want_reg=False`` callers (pyramid coarse/mid stages need only
+        the matrix), left device-resident for ``want_reg='device'``
+        callers (the fusion pipeline feeds it straight to the decon —
+        the host fetch alone costs ~0.3-0.4 s at fusion shapes on a
+        tunneled device)."""
+        if not want_reg:
+            return None
+        reg = _final_transform(img2, aff_coef, img1.shape, mem_mode)
+        return reg if want_reg == "device" else np.asarray(reg)
 
     aff_initial = identity_tmx().astype(np.float64)
     pre_transformed = False
@@ -1095,11 +1111,11 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
             print(f"\t... optimized cross correlation value: {-fret:f};")
             print(f"\t... total sub iteration number: {counter.count};")
             print(f"\t... time cost for all iterations: {records[6]:f} s;")
-        reg = _final_transform(img2, aff_coef, img1.shape, mem_mode)
+        reg = _finish_reg(aff_coef)
         records[7] = time.time() - t_start
         if verbose:
             print(f"\t... time cost for registration: {records[7]:f} s;")
-        return np.asarray(reg), np.asarray(aff_coef, np.float32), records
+        return reg, np.asarray(aff_coef, np.float32), records
 
     if engine == "hybrid" and aff_method in (1, 2, 3, 4, 5, 6, 7):
         from microimagelib_tpu.models.registration_device import (
@@ -1175,11 +1191,11 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
             print(f"\t... optimized cross correlation value: {-fret:f};")
             print(f"\t... total sub iteration number: {counter.count};")
             print(f"\t... time cost for all iterations: {records[6]:f} s;")
-        reg = _final_transform(img2, aff_coef, img1.shape, mem_mode)
+        reg = _finish_reg(aff_coef)
         records[7] = time.time() - t_start
         if verbose:
             print(f"\t... time cost for registration: {records[7]:f} s;")
-        return np.asarray(reg), np.asarray(aff_coef, np.float32), records
+        return reg, np.asarray(aff_coef, np.float32), records
 
     if engine == "device" and aff_method in (1, 2, 3, 4, 5, 6, 7):
         from microimagelib_tpu.models.registration_device import reg_ladder_device
@@ -1209,11 +1225,11 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
             print(f"\t... optimized cross correlation value: {-fret:f};")
             print(f"\t... total sub iteration number: {counter.count};")
             print(f"\t... time cost for all iterations: {records[6]:f} s;")
-        reg = _final_transform(img2, aff_coef, img1.shape, mem_mode)
+        reg = _finish_reg(aff_coef)
         records[7] = time.time() - t_start
         if verbose:
             print(f"\t... time cost for registration: {records[7]:f} s;")
-        return np.asarray(reg), np.asarray(aff_coef, np.float32), records
+        return reg, np.asarray(aff_coef, np.float32), records
 
     def run_powell(p0, fn, this_ftol):
         counter.func = fn
@@ -1284,11 +1300,11 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
         print(f"\t... total sub iteration number: {counter.count};")
         print(f"\t... time cost for all iterations: {records[6]:f} s;")
 
-    reg = _final_transform(img2, aff_coef, img1.shape, mem_mode)
+    reg = _finish_reg(aff_coef)
     records[7] = time.time() - t_start
     if verbose:
         print(f"\t... time cost for registration: {records[7]:f} s;")
-    return np.asarray(reg), np.asarray(aff_coef, np.float32), records
+    return reg, np.asarray(aff_coef, np.float32), records
 
 
 # --------------------------------------------------------------------------
@@ -1342,13 +1358,22 @@ def _tmx_full_to_coarse(m_f, k):
     return out.reshape(12).astype(np.float32)
 
 
-def _auto_pool_factors(shape, budget=96 ** 3):
+def _auto_pool_factors(shape, budget=None):
     """Per-axis pyramid pooling factors: halve z and y until the coarse
     level is under ``budget`` voxels; only pool x when the pooled extent
     stays a multiple of 128 (keeps the coarse level eligible for the
     Pallas NCC kernel). Each axis only pools while its coarse extent
     stays usable (>= 8) so thin-slab volumes (e.g. 2 x 2048 x 2048)
-    never pool an axis to zero; stops when no axis can pool further."""
+    never pool an axis to zero; stops when no axis can pool further.
+
+    ``budget`` defaults to MIL_REG_PYRAMID_BUDGET (160k voxels): the
+    deeper coarse level costs nothing in quality (the geometric mid
+    polishes re-anchor the matrix on the way up) and moves most search
+    evaluations to levels where they are ~5-25x cheaper (hardware
+    profile in BASELINE.md round 4)."""
+    if budget is None:
+        budget = int(os.environ.get("MIL_REG_PYRAMID_BUDGET",
+                                    str(160_000)))
     sz0, sy0, sx0 = shape
     kz = ky = kx = 1
 
@@ -1373,7 +1398,8 @@ def _auto_pool_factors(shape, budget=96 ** 3):
 
 def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
                          ftol=1e-4, it_limit=3000, verbose=False, records=None,
-                         device=None, engine="auto", factor=None, mem_mode=-1):
+                         device=None, engine="auto", factor=None, mem_mode=-1,
+                         *, want_reg=True):
     """Coarse-to-fine affine registration: run the DOF ladder on a
     mean-pooled pair (where each cost evaluation is factor^3 cheaper),
     then polish with a full-resolution 12-DOF stage seeded by the scaled
@@ -1392,24 +1418,25 @@ def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
     if aff_method == 0:
         return reg3d_affine(img1, img2, 0, flag_tmx, tmx, ftol,
                             it_limit, verbose, records, device, engine,
-                            mem_mode)
+                            mem_mode, want_reg=want_reg)
     if factor is None:
         factor = _auto_pool_factors(img1.shape)
     if np.isscalar(factor) and factor <= 1:
         return reg3d_affine(img1, img2, aff_method, flag_tmx, tmx, ftol,
                             it_limit, verbose, records, device, engine,
-                            mem_mode)
+                            mem_mode, want_reg=want_reg)
     if all(v == 1 for v in _pool_factors(factor)):
         return reg3d_affine(img1, img2, aff_method, flag_tmx, tmx, ftol,
                             it_limit, verbose, records, device, engine,
-                            mem_mode)
+                            mem_mode, want_reg=want_reg)
     c1 = _mean_pool(img1, factor)
     c2 = _mean_pool(img2, factor)
     tmx_c = _tmx_full_to_coarse(tmx, factor) if (flag_tmx and tmx is not None) else None
     if verbose:
         print(f"\t... pyramid: coarse search at 1/{_pool_factors(factor)} resolution {tuple(c1.shape)}")
     _, m_coarse, rec_c = reg3d_affine(c1, c2, aff_method, flag_tmx, tmx_c,
-                                      ftol, it_limit, verbose, None, device, engine)
+                                      ftol, it_limit, verbose, None, device,
+                                      engine, want_reg=False)
     m_init = _tmx_coarse_to_full(m_coarse, factor)
     # Polish with the REQUESTED transform model, not an unconditional
     # 12-DOF upgrade: dofNum is Powell's exact dimensionality in the
@@ -1417,29 +1444,31 @@ def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
     # must yield a pure translation even through the pyramid. Escalation
     # methods 6/7 already end at 12-DOF, so they polish with 5.
     polish_method = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 5, 7: 5}[aff_method]
-    kz_, ky_, kx_ = _pool_factors(factor)
-    fmid = (max(1, kz_ // 2), max(1, ky_ // 2), max(1, kx_ // 2))
-    if (env_on("MIL_REG_PYRAMID_MID", True)
-            and any(v > 1 for v in fmid)):
-        # 3-level schedule (default on; MIL_REG_PYRAMID_MID=0 restores the
-        # 2-level pyramid): polish the REQUESTED model at half pooling
-        # first (each eval ~(2^3)x cheaper), so the full-resolution stage
-        # starts near-converged and spends fewer of its expensive evals.
-        # Hardware A/B (BASELINE.md session-3 table): fusion1tp 6.09 vs
-        # 6.49 s at identical final NCC; a no-op when fmid == (1,1,1)
-        m1 = _mean_pool(img1, fmid)
-        m2 = _mean_pool(img2, fmid)
-        if verbose:
-            print(f"\t... pyramid: mid polish at 1/{fmid} resolution")
-        _, m_mid, _rec_m = reg3d_affine(
-            m1, m2, polish_method, True, _tmx_full_to_coarse(m_init, fmid),
-            ftol, it_limit, verbose, None, device, engine)
-        m_init = _tmx_coarse_to_full(m_mid, fmid)
+    if env_on("MIL_REG_PYRAMID_MID", True):
+        # geometric mid schedule (default on; MIL_REG_PYRAMID_MID=0
+        # restores the 2-level pyramid): polish the REQUESTED model at
+        # every halved pooling on the way up — each mid eval is ~8x
+        # cheaper than the level above it, so the full-resolution stage
+        # starts near-converged and spends few of its expensive evals.
+        # Hardware A/Bs: BASELINE.md round-4 pyramid section (session-3
+        # single-mid arm: fusion1tp 6.09 vs 6.49 s, identical NCC).
+        fmid = tuple(max(1, v // 2) for v in _pool_factors(factor))
+        while any(v > 1 for v in fmid):
+            m1 = _mean_pool(img1, fmid)
+            m2 = _mean_pool(img2, fmid)
+            if verbose:
+                print(f"\t... pyramid: mid polish at 1/{fmid} resolution")
+            _, m_mid, _rec_m = reg3d_affine(
+                m1, m2, polish_method, True, _tmx_full_to_coarse(m_init, fmid),
+                ftol, it_limit, verbose, None, device, engine,
+                want_reg=False)
+            m_init = _tmx_coarse_to_full(m_mid, fmid)
+            fmid = tuple(max(1, v // 2) for v in fmid)
     if verbose:
         print(f"\t... pyramid: full-resolution polish (method {polish_method})")
     reg, m_full, records = reg3d_affine(img1, img2, polish_method, True, m_init,
                                         ftol, it_limit, verbose, records, device,
-                                        engine, mem_mode)
+                                        engine, mem_mode, want_reg=want_reg)
     records[2] = rec_c[3]  # coarse-stage NCC as the intermediate record
     return reg, m_full, records
 
@@ -1450,14 +1479,19 @@ def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
 
 def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
           ftol=1e-4, it_limit=3000, device=None, mem_mode=-1, verbose=False,
-          records=None, engine="auto", pyramid="auto"):
+          records=None, engine="auto", pyramid="auto", *, as_device=False):
     """Main 3D registration entry (``reg3d``,
     reference:src/api_reg.cpp:264-607).
 
     reg_choice: 0 apply-matrix only; 1 phasor; 2 affine; 3 phasor->affine;
     4 2D-MIP-shift-align->affine. Source is centered-aligned to the
     target's shape first when sizes differ (reference:src/api_reg.cpp:
-    398-407). Returns (registered, tmx12, records)."""
+    398-407). Returns (registered, tmx12, records).
+
+    ``as_device=True`` leaves the registered volume device-resident
+    (a jax array) instead of fetching it to host — the fusion/batch
+    pipelines feed it straight into the deconvolution, and the fetch
+    alone costs ~0.3-0.4 s at fusion shapes on a tunneled device."""
     t0 = time.time()
     if records is None:
         records = np.zeros(11, dtype=np.float64)
@@ -1495,13 +1529,16 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
     if pyramid == "auto":
         pyramid = img1.size > 96 ** 3 and engine != "host"
 
+    want = "device" if as_device else True
+
     def run_affine(i1, i2, method, flag, mx):
         if pyramid:
             return reg3d_affine_pyramid(i1, i2, method, flag, mx, ftol, it_limit,
                                         verbose, records, device, engine,
-                                        mem_mode=mem_mode)
+                                        mem_mode=mem_mode, want_reg=want)
         return reg3d_affine(i1, i2, method, flag, mx, ftol, it_limit,
-                            verbose, records, device, engine, mem_mode)
+                            verbose, records, device, engine, mem_mode,
+                            want_reg=want)
 
     def run_phasor(i1, i2):
         # memory-saving phasor tier (the reference's reg3d_phasor2,
@@ -1531,7 +1568,7 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
         else:
             reg, out_tmx, records = reg3d_affine(
                 img1, img2, 0, flag_tmx, tmx, ftol, it_limit, verbose,
-                records, device, engine, mem_mode)
+                records, device, engine, mem_mode, want_reg=want)
     elif reg_choice == 1:
         shifts = run_phasor(img1, img2)
         out_tmx = identity_tmx()
@@ -1539,7 +1576,7 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
         if mem_mode == 2:
             reg = _final_transform(img2, out_tmx, img1.shape, 2)
         else:
-            reg = np.asarray(imshift(img2, -shifts[0], -shifts[1], -shifts[2]))
+            reg = imshift(img2, -shifts[0], -shifts[1], -shifts[2])
     elif reg_choice == 2:
         reg, out_tmx, records = run_affine(img1, img2, aff_method, flag_tmx, tmx)
     elif reg_choice == 3:
@@ -1572,7 +1609,7 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
 
     records[7] = time.time() - t0
     records[10] = free_memory_mb(device)
-    return np.asarray(reg), out_tmx, records
+    return (reg if as_device else np.asarray(reg)), out_tmx, records
 
 
 def reg_3dgpu(img1, img2, aff_method=7, input_tmx=False, tmx=None, ftol=1e-4,

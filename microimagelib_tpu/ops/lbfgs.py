@@ -20,10 +20,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+import os
+
 COST_ABORT = 1.001
 HIST = 8
-MAX_ITERS = 200
-PATIENCE = 3
+MAX_ITERS = int(os.environ.get("MIL_LBFGS_MAX_ITERS", "200"))
+PATIENCE = int(os.environ.get("MIL_LBFGS_PATIENCE", "3"))
 LS_MAX_BACK = 20
 LS_MAX_FWD = 24
 ARMIJO_C1 = 1e-4

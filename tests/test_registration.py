@@ -215,9 +215,13 @@ def test_auto_pool_factors_thin_slab():
     kz, ky, kx = _auto_pool_factors((2, 2048, 2048))
     assert 2 // kz >= 1 and kz == 1
     assert 2048 // ky >= 8
-    assert (2 // kz) * (2048 // ky) * (2048 // kx) <= 96 ** 3
-    # isotropic case unchanged: 128^3 pools z and y once
-    assert _auto_pool_factors((128, 128, 128)) == (2, 2, 1)
+    assert (2 // kz) * (2048 // ky) * (2048 // kx) <= 160_000
+    # isotropic 128^3 at the deep default budget (160k voxels): two
+    # halvings of z and y; the geometric mid schedule polishes at
+    # (2, 2, 1) on the way up (BASELINE.md round-4 pyramid section)
+    assert _auto_pool_factors((128, 128, 128)) == (4, 4, 1)
+    # the pre-round-4 single-level budget stays reachable explicitly
+    assert _auto_pool_factors((128, 128, 128), budget=96 ** 3) == (2, 2, 1)
     # degenerate tiny volume: no pooling possible, loop must terminate
     assert _auto_pool_factors((4, 4, 4), budget=8) == (1, 1, 1)
 
