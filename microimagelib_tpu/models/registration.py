@@ -1085,12 +1085,20 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
     if engine == "grad" and aff_method in (1, 2, 3, 4, 5, 6, 7):
         from microimagelib_tpu.models.registration_grad import reg_ladder_grad
 
+        # budgeted finisher (MIL_REG_FINISH_SWEEPS, 0 = uncapped): from
+        # the L-BFGS point ONE Powell sweep captures the remaining
+        # improvement; the run-to-ftol tail costs ~3x the evals for
+        # no NCC gain (hardware A/B, BASELINE.md round-4 fusion table:
+        # sweeps 1/2/uncapped = 3.37 s @ 0.8052 / 3.57 @ 0.8033 /
+        # 4.74 @ 0.8048)
+        sweeps_env = int(os.environ.get("MIL_REG_FINISH_SWEEPS", "1"))
         aff_dev, fret_dev, stage_costs, nev = reg_ladder_grad(
             src_ms, tgt_ms, jnp.float32(sd_t), jnp.asarray(p_init, jnp.float32),
             aff_method, jnp.float32(ftol), jnp.int32(it_limit),
             ncc_impl=resolve_ncc_impl(src_ms),
             finish=env_on("MIL_REG_GRAD_FINISH", True),
-            batch_ls=env_on("MIL_REG_BATCH_LS"))
+            batch_ls=env_on("MIL_REG_BATCH_LS"),
+            finish_sweeps=(None if sweeps_env <= 0 else sweeps_env))
         aff_coef = np.asarray(aff_dev, np.float32)
         fret = float(fret_dev)
         stage = np.asarray(stage_costs)

@@ -101,9 +101,10 @@ def _stage_vg(cost_grad_m, to_matrix, scale):
 
 
 @partial(jax.jit, static_argnames=("aff_method", "ncc_impl", "finish",
-                                   "batch_ls"))
+                                   "batch_ls", "finish_sweeps"))
 def reg_ladder_grad(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
-                    it_limit, ncc_impl=None, finish=True, batch_ls=False):
+                    it_limit, ncc_impl=None, finish=True, batch_ls=False,
+                    finish_sweeps=None):
     """Gradient twin of registration_device.reg_ladder_device: same
     stages, same return contract (aff 12-vec, fret, stage_costs (4,),
     total evals).
@@ -117,7 +118,13 @@ def reg_ladder_grad(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
     ``batch_ls``: the finisher's line minimizations probe 8 points per
     batched cost call (powell_device cost_batch) instead of serial
     mnbrak/brent — the N-probe Pallas kernel amortizes the per-call
-    floor and the box DMA over the batch."""
+    floor and the box DMA over the batch.
+
+    ``finish_sweeps``: cap the finisher at N direction-set sweeps
+    (None = run to Powell's own ftol convergence). From the L-BFGS
+    point, the first sweep captures most of the remaining improvement
+    at ~n*15 evals; the run-to-ftol tail costs several times that for
+    the last fraction (hardware A/B in BASELINE.md round 4)."""
     cost_grad_m = _make_cost_grad_m(src_ms, tgt_ms, sd_t, ncc_impl)
     cost_batch_m = (_make_cost_batch(src_ms, tgt_ms, sd_t, ncc_impl)
                     if (finish and batch_ls) else None)
@@ -187,7 +194,8 @@ def reg_ladder_grad(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
         if finish:
             sub, fret, nev = powell_device(dof_cost(dof_num), sub, ftol,
                                            it_limit, nev0=nev,
-                                           cost_batch=dof_cost_batch(dof_num))
+                                           cost_batch=dof_cost_batch(dof_num),
+                                           max_sweeps=finish_sweeps)
         aff = dof_to_matrix_jnp(_full_dof(sub, dof_num), dof_num)
         stage_costs = stage_costs.at[0].set(fret)
     elif aff_method == 5:
@@ -196,7 +204,8 @@ def reg_ladder_grad(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
         p = q * p12_scale
         if finish:
             p, fret, nev = powell_device(cost12, p, ftol, it_limit, nev0=nev,
-                                         cost_batch=cost12_batch)
+                                         cost_batch=cost12_batch,
+                                         max_sweeps=finish_sweeps)
         aff = params_to_matrix_jnp(p)
         stage_costs = stage_costs.at[0].set(fret)
     elif aff_method == 6:
@@ -209,7 +218,8 @@ def reg_ladder_grad(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
         p = q * p12_scale
         if finish:
             p, fret, nev = powell_device(cost12, p, ftol, it_limit, nev0=nev,
-                                         cost_batch=cost12_batch)
+                                         cost_batch=cost12_batch,
+                                         max_sweeps=finish_sweeps)
         aff = params_to_matrix_jnp(p)
         stage_costs = stage_costs.at[1].set(fret)
     elif aff_method == 7:
@@ -233,7 +243,8 @@ def reg_ladder_grad(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
         p = q * p12_scale
         if finish:
             p, fret, nev = powell_device(cost12, p, ftol, it_limit, nev0=nev,
-                                         cost_batch=cost12_batch)
+                                         cost_batch=cost12_batch,
+                                         max_sweeps=finish_sweeps)
         aff = params_to_matrix_jnp(p)
         stage_costs = stage_costs.at[3].set(fret)
     else:

@@ -274,7 +274,8 @@ def _linmin_nprobe(cost_batch, p, xi, fret):
     return p + xi_new, xi_new, fb, nev
 
 
-def powell_device(cost, p0, ftol, it_limit, nev0=0, cost_batch=None):
+def powell_device(cost, p0, ftol, it_limit, nev0=0, cost_batch=None,
+                  max_sweeps=None):
     """On-device Powell. cost: (n,) f32 -> scalar f32 (pure, traced).
     Returns (p_min, f_min, total_evals). ``it_limit`` caps cost evals the
     way the reference's itNumStatic does; ``nev0`` carries the count
@@ -284,11 +285,19 @@ def powell_device(cost, p0, ftol, it_limit, nev0=0, cost_batch=None):
     line minimizations run the vectorized multi-probe search
     (:func:`_linmin_nprobe`) instead of serial mnbrak/brent — same
     direction-set semantics, 1.001 abort, and it_limit accounting on the
-    accepted sequence."""
+    accepted sequence.
+
+    ``max_sweeps``: optional cap on outer direction-set sweeps — the
+    budgeted-finisher mode (registration_grad): a near-converged start
+    gets the bulk of Powell's remaining improvement in the first sweep
+    or two, at a fraction of the run-to-ftol eval count. None preserves
+    the reference's run-to-convergence semantics."""
     p0 = jnp.asarray(p0, jnp.float32)
     n = p0.shape[0]
     ftol = jnp.float32(ftol)
     it_limit = jnp.int32(it_limit)
+    itmax = POWELL_ITMAX if max_sweeps is None else min(POWELL_ITMAX,
+                                                        int(max_sweeps))
 
     fret0 = cost(p0)
     nev_init = jnp.int32(nev0) + 1
@@ -301,7 +310,7 @@ def powell_device(cost, p0, ftol, it_limit, nev0=0, cost_batch=None):
     # state: p, xi (n,n), fret, pt, it, nev, done
     def outer_cond(s):
         p, xi, fret, pt, it, nev, done = s
-        return (~done) & (it < POWELL_ITMAX)
+        return (~done) & (it < itmax)
 
     def outer_body(s):
         p, xi, fret, pt, it, nev, done = s
