@@ -119,6 +119,13 @@ def fusion_dualview(img_a, img_b, psf_a, psf_b,
                     save_reg_callback=None):
     """Full fusion of one timepoint. Returns (decon, tmx, reg_b, a_iso).
 
+    ``reg_b`` is returned DEVICE-RESIDENT (a jax array, like reg3d's
+    ``as_device=True``): it feeds the decon without a host round trip,
+    and fetching it would cost ~0.3-0.4 s at fusion shapes on a tunneled
+    device. Call ``np.asarray(reg_b)`` before in-place numpy mutation or
+    serialization. ``a_iso`` is host (numpy); ``decon`` follows
+    decon_dualview's contract.
+
     ``fusion_dualview`` (reference:src/api_decon.cpp:988-1266) with the
     same registration fallback: if ``checkmatrix`` rejects the result, the
     registration is repeated with plain affine regChoice 2

@@ -703,7 +703,8 @@ def _resolve_reg_mem_mode(shape, mem_mode, device):
 
 
 def _reg3d_affine_lowmem(img1, img2, aff_method, flag_tmx, tmx, ftol,
-                         it_limit, verbose, records, device, engine):
+                         it_limit, verbose, records, device, engine,
+                         want_reg=True):
     """Beyond-HBM affine registration: the device never holds a full
     volume. TPU-native replacement for ``reg3d_affine2``
     (reference:src/api_subfunc.cu:2995-3266) that goes further — the
@@ -722,7 +723,11 @@ def _reg3d_affine_lowmem(img1, img2, aff_method, flag_tmx, tmx, ftol,
          final transform of the original source streams through bounded
          z-windows.
 
-    Returns (registered, tmx12, records) like ``reg3d_affine``."""
+    Returns (registered, tmx12, records) like ``reg3d_affine``.
+    ``want_reg=False`` skips the streamed final transform and returns
+    ``None`` for the registered volume; a truthy ``want_reg`` (including
+    ``'device'``) always yields a HOST array — a beyond-HBM volume cannot
+    be materialized device-resident by definition."""
     from microimagelib_tpu.models.deconvolution import hbm_budget_bytes
     from microimagelib_tpu.ops.affine import corr3d_partials_streamed
 
@@ -839,12 +844,13 @@ def _reg3d_affine_lowmem(img1, img2, aff_method, flag_tmx, tmx, ftol,
     records[3] = -fret
     records[5] = n_evals
     records[6] = time.time() - t_iter0
-    reg = _final_transform(img2, m_full, img1.shape, 2)
+    reg = (np.asarray(_final_transform(img2, m_full, img1.shape, 2))
+           if want_reg else None)
     records[7] = time.time() - t_start
     if verbose:
         print(f"\t... optimized cross correlation value: {-fret:f};")
         print(f"\t... time cost for registration: {records[7]:f} s;")
-    return np.asarray(reg), np.asarray(m_full, np.float32), records
+    return reg, np.asarray(m_full, np.float32), records
 
 
 @jax.jit
@@ -863,7 +869,8 @@ def _reg_stats(src_base, tgt):
 
 def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
                  it_limit=3000, verbose=False, records=None, device=None,
-                 engine="auto", mem_mode=-1, *, want_reg=True):
+                 engine="auto", mem_mode=-1, *, want_reg=True,
+                 finish_sweeps=None, grad_finish=None):
     """Core 3D affine registration (``reg3d_affine1``,
     reference:src/api_subfunc.cu:2732-2994).
 
@@ -885,7 +892,14 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
 
     records layout (len 8+): [1] initial NCC, [2] intermediate NCC,
     [3] final NCC, [4] per-eval ms, [5] total evals, [6] iteration s,
-    [7] total s (reference:src/api_reg.cpp:295-300)."""
+    [7] total s (reference:src/api_reg.cpp:295-300).
+
+    finish_sweeps: cap on the grad engine's Powell finisher direction-set
+    sweeps (0 = run to Powell's own ftol convergence, i.e. the full
+    reference semantics; None = the MIL_REG_FINISH_SWEEPS env default,
+    1). grad_finish: run the Powell finisher at all (None = the
+    MIL_REG_GRAD_FINISH env default, on). Exposed as API parameters so
+    callers need not mutate the environment (round-4 advisor item)."""
     t_start = time.time()
     if records is None:
         records = np.zeros(11, dtype=np.float64)
@@ -917,7 +931,7 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
             return reg, out_tmx, records
         return _reg3d_affine_lowmem(img1, img2, aff_method, flag_tmx, tmx,
                                     ftol, it_limit, verbose, records,
-                                    device, engine)
+                                    device, engine, want_reg=want_reg)
     if mem_mode == 0:
         # CPU processing tier, matching the decon entries' mode-0 routing
         # (overrides any passed accelerator device — the CLIs always pass
@@ -1091,14 +1105,20 @@ def reg3d_affine(img1, img2, aff_method=7, flag_tmx=False, tmx=None, ftol=1e-4,
         # no NCC gain (hardware A/B, BASELINE.md round-4 fusion table:
         # sweeps 1/2/uncapped = 3.37 s @ 0.8052 / 3.57 @ 0.8033 /
         # 4.74 @ 0.8048)
-        sweeps_env = int(os.environ.get("MIL_REG_FINISH_SWEEPS", "1"))
+        from microimagelib_tpu.ops.lbfgs import lbfgs_env
+
+        sweeps = (int(os.environ.get("MIL_REG_FINISH_SWEEPS", "1"))
+                  if finish_sweeps is None else int(finish_sweeps))
+        ls_mi, ls_pa = lbfgs_env()  # per-call env read; static jit keys
         aff_dev, fret_dev, stage_costs, nev = reg_ladder_grad(
             src_ms, tgt_ms, jnp.float32(sd_t), jnp.asarray(p_init, jnp.float32),
             aff_method, jnp.float32(ftol), jnp.int32(it_limit),
             ncc_impl=resolve_ncc_impl(src_ms),
-            finish=env_on("MIL_REG_GRAD_FINISH", True),
+            finish=(env_on("MIL_REG_GRAD_FINISH", True)
+                    if grad_finish is None else bool(grad_finish)),
             batch_ls=env_on("MIL_REG_BATCH_LS"),
-            finish_sweeps=(None if sweeps_env <= 0 else sweeps_env))
+            finish_sweeps=(None if sweeps <= 0 else sweeps),
+            ls_max_iters=ls_mi, ls_patience=ls_pa)
         aff_coef = np.asarray(aff_dev, np.float32)
         fret = float(fret_dev)
         stage = np.asarray(stage_costs)

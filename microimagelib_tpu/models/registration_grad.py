@@ -28,7 +28,7 @@ from microimagelib_tpu.models.registration_device import (
     matrix_to_params_jnp,
     params_to_matrix_jnp,
 )
-from microimagelib_tpu.ops.lbfgs import lbfgs_minimize
+from microimagelib_tpu.ops.lbfgs import lbfgs_minimize as _lbfgs_minimize
 from microimagelib_tpu.ops.powell_device import powell_device
 
 
@@ -101,10 +101,11 @@ def _stage_vg(cost_grad_m, to_matrix, scale):
 
 
 @partial(jax.jit, static_argnames=("aff_method", "ncc_impl", "finish",
-                                   "batch_ls", "finish_sweeps"))
+                                   "batch_ls", "finish_sweeps",
+                                   "ls_max_iters", "ls_patience"))
 def reg_ladder_grad(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
                     it_limit, ncc_impl=None, finish=True, batch_ls=False,
-                    finish_sweeps=None):
+                    finish_sweeps=None, ls_max_iters=None, ls_patience=None):
     """Gradient twin of registration_device.reg_ladder_device: same
     stages, same return contract (aff 12-vec, fret, stage_costs (4,),
     total evals).
@@ -124,8 +125,16 @@ def reg_ladder_grad(src_ms, tgt_ms, sd_t, p_init12, aff_method, ftol,
     (None = run to Powell's own ftol convergence). From the L-BFGS
     point, the first sweep captures most of the remaining improvement
     at ~n*15 evals; the run-to-ftol tail costs several times that for
-    the last fraction (hardware A/B in BASELINE.md round 4)."""
+    the last fraction (hardware A/B in BASELINE.md round 4).
+
+    ``ls_max_iters``/``ls_patience``: per-stage L-BFGS step cap and
+    ftol-stall patience. STATIC jit args — callers must resolve the
+    MIL_LBFGS_* env knobs OUTSIDE the trace (ops.lbfgs.lbfgs_env) so the
+    program cache keys on them; None falls back to a trace-time env read
+    that later env changes cannot refresh."""
     cost_grad_m = _make_cost_grad_m(src_ms, tgt_ms, sd_t, ncc_impl)
+    lbfgs_minimize = partial(_lbfgs_minimize, max_iters=ls_max_iters,
+                             patience=ls_patience)
     cost_batch_m = (_make_cost_batch(src_ms, tgt_ms, sd_t, ncc_impl)
                     if (finish and batch_ls) else None)
 

@@ -14,29 +14,44 @@ escape), and convergence uses Powell's relative ftol test.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-import os
-
 COST_ABORT = 1.001
 HIST = 8
-MAX_ITERS = int(os.environ.get("MIL_LBFGS_MAX_ITERS", "200"))
-PATIENCE = int(os.environ.get("MIL_LBFGS_PATIENCE", "3"))
 LS_MAX_BACK = 20
 LS_MAX_FWD = 24
 ARMIJO_C1 = 1e-4
 
 
-def lbfgs_minimize(value_and_grad, p0, ftol, it_limit, nev0=0):
+def lbfgs_env():
+    """(max_iters, patience) from MIL_LBFGS_MAX_ITERS / MIL_LBFGS_PATIENCE,
+    read PER CALL (setting them after import takes effect, like the other
+    MIL_REG_* knobs). Callers that jit around lbfgs_minimize must read
+    these OUTSIDE the trace and pass them as static arguments so the jit
+    cache keys on them (registration.py does)."""
+    return (int(os.environ.get("MIL_LBFGS_MAX_ITERS", "200")),
+            int(os.environ.get("MIL_LBFGS_PATIENCE", "3")))
+
+
+def lbfgs_minimize(value_and_grad, p0, ftol, it_limit, nev0=0,
+                   max_iters=None, patience=None):
     """Minimize with L-BFGS (two-loop recursion, history 8, Armijo
     backtracking + expansion line search). ``value_and_grad``:
     (n,) f32 -> (f, g) — each call counts one evaluation.
 
+    ``max_iters``/``patience`` default to the MIL_LBFGS_* env knobs
+    (read per call via ``lbfgs_env``).
+
     Returns (p_min, f_min, total_evals)."""
+    if max_iters is None or patience is None:
+        env_mi, env_pa = lbfgs_env()
+        max_iters = env_mi if max_iters is None else max_iters
+        patience = env_pa if patience is None else patience
     p0 = jnp.asarray(p0, jnp.float32)
     n = p0.shape[0]
     ftol = jnp.float32(ftol)
@@ -136,7 +151,7 @@ def lbfgs_minimize(value_and_grad, p0, ftol, it_limit, nev0=0):
 
     def cond(state):
         p, f, g, mem_s, mem_y, mem_rho, k, it, nev, stall, done = state
-        return (~done) & (it < MAX_ITERS)
+        return (~done) & (it < max_iters)
 
     def body(state):
         p, f, g, mem_s, mem_y, mem_rho, k, it, nev, stall, done = state
@@ -172,7 +187,7 @@ def lbfgs_minimize(value_and_grad, p0, ftol, it_limit, nev0=0):
         # test to hold for PATIENCE consecutive steps instead.
         small = 2.0 * jnp.abs(f - f2) <= ftol * (jnp.abs(f) + jnp.abs(f2))
         stall2 = jnp.where(small, stall + 1, 0)
-        done2 = ((stall2 >= PATIENCE) | (~moved) | (nev2 >= it_limit)
+        done2 = ((stall2 >= patience) | (~moved) | (nev2 >= it_limit)
                  | (f2 >= COST_ABORT))
         return (p2, f2, g2, mem_s2, mem_y2, mem_rho2, k2, it + 1, nev2,
                 stall2, done2)

@@ -209,17 +209,19 @@ def test_pyramid_mid_level_matches_default(monkeypatch):
 
 def test_auto_pool_factors_thin_slab():
     # thin-slab volumes must never pool an axis to zero extent
-    # (round-1 advisor low finding)
+    # (round-1 advisor low finding). Budgets passed explicitly so a
+    # MIL_REG_PYRAMID_BUDGET in the test environment cannot skew the
+    # default-budget assertions (round-4 advisor finding).
     from microimagelib_tpu.models.registration import _auto_pool_factors
 
-    kz, ky, kx = _auto_pool_factors((2, 2048, 2048))
+    kz, ky, kx = _auto_pool_factors((2, 2048, 2048), budget=160_000)
     assert 2 // kz >= 1 and kz == 1
     assert 2048 // ky >= 8
     assert (2 // kz) * (2048 // ky) * (2048 // kx) <= 160_000
     # isotropic 128^3 at the deep default budget (160k voxels): two
     # halvings of z and y; the geometric mid schedule polishes at
     # (2, 2, 1) on the way up (BASELINE.md round-4 pyramid section)
-    assert _auto_pool_factors((128, 128, 128)) == (4, 4, 1)
+    assert _auto_pool_factors((128, 128, 128), budget=160_000) == (4, 4, 1)
     # the pre-round-4 single-level budget stays reachable explicitly
     assert _auto_pool_factors((128, 128, 128), budget=96 ** 3) == (2, 2, 1)
     # degenerate tiny volume: no pooling possible, loop must terminate
