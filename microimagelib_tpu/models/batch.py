@@ -137,25 +137,30 @@ def _timepoint_list(cfg):
 
 
 def _register_with_cascade(a_iso, b_iso, reg_choice, aff_method, flag_tmx, tmx_in,
-                           cfg, log_path, fallback_tmx):
+                           cfg, log_path, fallback_tmx, want_reg=None):
     """One registration attempt + the reference's retry cascade
-    (reference:src/spim_fusion_batch.cpp:722-747)."""
+    (reference:src/spim_fusion_batch.cpp:722-747). ``want_reg=False``
+    skips the final transform in every attempt (the fused apply program
+    re-applies the matrix) and returns None for the volume."""
     sz, sy, sx = a_iso.shape
     reg_b, out_tmx, rec = reg3d(a_iso, b_iso, reg_choice, aff_method, flag_tmx,
-                                tmx_in, cfg.ftol, cfg.it_limit, verbose=cfg.verbose)
+                                tmx_in, cfg.ftol, cfg.it_limit, verbose=cfg.verbose,
+                                want_reg=want_reg)
     ok = checkmatrix(out_tmx, sx, sy, sz) and rec[3] >= COST_VALUE_BAR
     if not ok and reg_choice in (2, 4):
         _log(log_path, f"\n\t... Attempt failed: matrix problematic or cost {rec[3]:f} < {COST_VALUE_BAR:.2f}\n"
                         "\n\t... Change scheme and redo the registration!!!\n")
         alt = 2 if reg_choice == 4 else 4
         reg_b, out_tmx, rec = reg3d(a_iso, b_iso, alt, aff_method, False,
-                                    None, cfg.ftol, cfg.it_limit, verbose=cfg.verbose)
+                                    None, cfg.ftol, cfg.it_limit, verbose=cfg.verbose,
+                                    want_reg=want_reg)
         ok = checkmatrix(out_tmx, sx, sy, sz) and rec[3] >= COST_VALUE_BAR
         if not ok and fallback_tmx is not None:
             _log(log_path, f"\n\t... Attempt failed: matrix problematic or cost {rec[3]:f} < {COST_VALUE_BAR:.2f}\n"
                             "\n\t... Use input transformation matrix!!!\n")
             reg_b, out_tmx, rec = reg3d(a_iso, b_iso, 0, aff_method, True,
-                                        fallback_tmx, cfg.ftol, cfg.it_limit, verbose=cfg.verbose)
+                                        fallback_tmx, cfg.ftol, cfg.it_limit, verbose=cfg.verbose,
+                                        want_reg=want_reg)
     return reg_b, out_tmx, rec
 
 
@@ -220,15 +225,24 @@ def _flush_group(group, otfs, mesh, cfg, emit_outputs, log_path):
                    f"{time.time() - t_dec:2.3f} s\n")
 
 
-def _build_fused_apply_tp(cfg, shape_a, shape_b, get_otfs):
+def _build_fused_apply_tp(cfg, shape_a, shape_b, get_otfs, from_iso=False):
     """ONE jitted program for an apply-only timepoint (the regMode 0/1
-    steady state): isotropize A, rotate+isotropize B, apply the transform
-    matrix, pad, joint RL decon, crop, 2D MPs and rotating MIPs — all
-    device-resident in a single dispatch. The unfused chain issues ~8
-    programs per timepoint, each paying ~0.1-0.2 s of dispatch/transfer
-    latency on the tunneled TPU (BASELINE.md machine model); the
-    reference runs the same chain as separate kernels + synchronous
-    memcpys per timepoint (reference:src/spim_fusion_batch.cpp:613-627).
+    steady state): isotropize A, rotate+isotropize B, center-align B to
+    the target grid (the matrix's source frame — reg3d registered the
+    ALIGNED source, reference:src/api_reg.cpp:398-407), apply the
+    transform matrix, pad, joint RL decon, crop, 2D MPs and rotating
+    MIPs — all device-resident in a single dispatch. The unfused chain
+    issues ~8 programs per timepoint, each paying ~0.1-0.2 s of
+    dispatch/transfer latency on the tunneled TPU (BASELINE.md machine
+    model); the reference runs the same chain as separate kernels +
+    synchronous memcpys per timepoint
+    (reference:src/spim_fusion_batch.cpp:613-627).
+
+    ``from_iso=True`` builds the variant the registering regModes (2/3)
+    use: shape_a/shape_b are the ALREADY-ISOTROPIZED view shapes (the
+    registration consumed the preprocessed device arrays), so the
+    program skips the resample/rotate stages and starts at align+apply.
+
     Returns (fused_fn, tgt_zyx); fused_fn(a_in, b_in, tmx12) -> dict of
     device arrays (decon + requested reg/MP/MIP outputs)."""
     import jax
@@ -247,16 +261,25 @@ def _build_fused_apply_tp(cfg, shape_a, shape_b, get_otfs):
         mip3d_frames,
         mip3d_params,
     )
-    from microimagelib_tpu.ops.basics import crop_center, rot_by_y_axis
+    from microimagelib_tpu.ops.basics import (
+        align_size_3d,
+        crop_center,
+        rot_by_y_axis,
+    )
     from microimagelib_tpu.ops.fft_matmul import mm_precision
     from microimagelib_tpu.ops.resample import resize3d_separable
 
-    size_a = (shape_a[2], shape_a[1], shape_a[0])
-    size_b = (shape_b[2], shape_b[1], shape_b[0])
-    tgt_xyz, b_xyz, op_choice = fusion_sizes(size_a, size_b, cfg.pixel1,
-                                             cfg.pixel2, cfg.im_rotation)
-    tgt_zyx = (tgt_xyz[2], tgt_xyz[1], tgt_xyz[0])
-    b_zyx = (b_xyz[2], b_xyz[1], b_xyz[0])
+    if from_iso:
+        tgt_zyx = tuple(shape_a)
+        b_zyx = tuple(shape_b)
+        op_choice = 0
+    else:
+        size_a = (shape_a[2], shape_a[1], shape_a[0])
+        size_b = (shape_b[2], shape_b[1], shape_b[0])
+        tgt_xyz, b_xyz, op_choice = fusion_sizes(size_a, size_b, cfg.pixel1,
+                                                 cfg.pixel2, cfg.im_rotation)
+        tgt_zyx = (tgt_xyz[2], tgt_xyz[1], tgt_xyz[0])
+        b_zyx = (b_xyz[2], b_xyz[1], b_xyz[0])
     grid = _fft_grid(tgt_zyx)
     otfs = get_otfs(grid)
     impl = _fft_impl(grid, otfs["otf1"])
@@ -294,8 +317,14 @@ def _build_fused_apply_tp(cfg, shape_a, shape_b, get_otfs):
         b = b_in
         if op_choice != 0:
             b = rot_by_y_axis(b, 1 if op_choice == 1 else -1)
-        if tuple(b.shape) != b_zyx:
+        if not from_iso and tuple(b.shape) != b_zyx:
             b = resize3d_separable(b, b_zyx)
+        if tuple(b.shape) != tgt_zyx:
+            # the matrix's source frame is the CENTER-ALIGNED view
+            # (reg3d aligns mismatched sources before registering,
+            # reference:src/api_reg.cpp:398-407) — applying it to the
+            # unaligned view would shift B by the centering offset
+            b = align_size_3d(b, tgt_zyx)
         reg_b = affine_transform_3d(b, tmx12, tgt_zyx)
         pad_a = _prep_pad(a, grid)
         pad_b = _prep_pad(reg_b, grid)
@@ -610,6 +639,80 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
             processed.append(t)
             continue
 
+        # --- fused path for the REGISTERING regModes (2 dependent /
+        # 3 independent, reference:src/spim_fusion_batch.cpp:757-843):
+        # preprocess stays device-resident, registration returns ONLY the
+        # matrix (want_reg=False — the apply program re-applies it), and
+        # the whole align+transform+decon+MIP chain is the same ONE-
+        # program dispatch as the regMode-0/1 steady state, one-deep
+        # pipelined so t's output fetch/TIFF writes overlap t+1's
+        # registration. regMode 2's subsequent timepoints warm-start
+        # from the propagated 0.8/0.2 matrix with the coarse/mid pyramid
+        # stages skipped (our pyramid is an extension the reference
+        # lacks; the warm matrix already encodes the coarse alignment —
+        # MIL_BATCH_WARM_PYRAMID=1 restores them), and the reference's
+        # previous-matrix fallback still fires on checkmatrix/cost-bar
+        # failure. ---
+        if (reg_mode in (2, 3) and mesh is None and group_size == 1
+                and env_on("MIL_BATCH_FUSED", True)):
+            a_iso, b_iso = preprocess_views(a_in, b_in, cfg.pixel1,
+                                            cfg.pixel2, cfg.im_rotation,
+                                            verbose=cfg.verbose,
+                                            as_device=True)
+            sz, sy, sx = a_iso.shape
+            rec = np.zeros(11)
+            if reg_mode == 2 and idx > 0:
+                warm_pyr = ("auto" if env_on("MIL_BATCH_WARM_PYRAMID")
+                            else False)
+                _, out_tmx, rec = reg3d(a_iso, b_iso, 2, aff_method, True,
+                                        tmx_weighted, cfg.ftol, cfg.it_limit,
+                                        verbose=cfg.verbose, want_reg=False,
+                                        pyramid=warm_pyr)
+                ok = (checkmatrix(out_tmx, sx, sy, sz)
+                      and rec[3] >= COST_VALUE_BAR)
+                if not ok:
+                    _log(log_path, f"\n\t... Attempt failed: matrix problematic or cost {rec[3]:f} < {COST_VALUE_BAR:.2f}\n"
+                                    "\n\t... Use previous transformation matrix!!!\n")
+                    _, out_tmx, rec = reg3d(a_iso, b_iso, 0, aff_method, True,
+                                            tmx_previous, cfg.ftol,
+                                            cfg.it_limit, verbose=cfg.verbose,
+                                            want_reg=False)
+                tmx_weighted = 0.8 * tmx_weighted + 0.2 * out_tmx  # reference:..:804-806
+                tmx_previous = out_tmx.copy()
+            else:
+                _, out_tmx, rec = _register_with_cascade(
+                    a_iso, b_iso, reg_choice, aff_method, flag_itmx,
+                    tmx_initial, cfg, log_path,
+                    tmx_initial if flag_itmx else None, want_reg=False)
+                if reg_mode == 2:
+                    tmx_weighted = out_tmx.copy()
+                    tmx_previous = out_tmx.copy()
+            _log(log_path, f"\t... initial cost function value: {rec[1]:f}\n"
+                            f"\t... final cost function value: {rec[3]:f}\n"
+                            f"\t... registration time cost: {rec[7]:2.3f} s\n")
+            write_tmx(os.path.join(paths["tmx"], f"Matrix_{t}.tmx"),
+                      np.asarray(out_tmx, np.float32).copy())
+            key = ("iso", tuple(a_iso.shape), tuple(b_iso.shape))
+            if fused_state.get("key") != key:
+                fused_state["key"] = key
+                fused_state["fn"], _ = _build_fused_apply_tp(
+                    cfg, tuple(a_iso.shape), tuple(b_iso.shape), get_otfs,
+                    from_iso=True)
+            outs = fused_state["fn"](a_iso, b_iso,
+                                     jnp.asarray(np.asarray(out_tmx,
+                                                            np.float32)))
+            for v in outs.values():
+                try:
+                    v.copy_to_host_async()  # fetch overlaps next dispatch
+                except Exception:
+                    break
+            _log(log_path, "\t... fused apply+decon+MIP program\n")
+            if in_flight is not None:
+                _collect_fused(in_flight)
+            in_flight = (t, outs, t0)
+            processed.append(t)
+            continue
+
         # device-resident fast path: the rotate/resample/transform/decon/
         # MIP chain stays on device; host round trips between stages cost
         # ~0.1-0.2 s EACH at batch-class shapes on a tunneled TPU
@@ -623,9 +726,15 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
         rec = np.zeros(11)
         if reg_mode == 0:
             # apply-only: one device dispatch, no host round trip (same
-            # semantics as reg3d choice 0 / affMethod 0 in mem mode 1)
+            # semantics as reg3d choice 0 / affMethod 0 in mem mode 1);
+            # center-align B to the target grid first — the matrix's
+            # source frame (reference:src/api_reg.cpp:398-407)
             if tmx_apply is not None:
-                reg_b = affine_transform_3d(b_iso,
+                from microimagelib_tpu.ops.basics import align_size_3d
+
+                b_al = (b_iso if tuple(b_iso.shape) == (sz, sy, sx)
+                        else align_size_3d(b_iso, (sz, sy, sx)))
+                reg_b = affine_transform_3d(b_al,
                                             np.asarray(tmx_apply, np.float32),
                                             (sz, sy, sx))
                 out_tmx = np.asarray(tmx_apply, np.float32).copy()

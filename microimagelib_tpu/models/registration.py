@@ -1507,7 +1507,8 @@ def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
 
 def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
           ftol=1e-4, it_limit=3000, device=None, mem_mode=-1, verbose=False,
-          records=None, engine="auto", pyramid="auto", *, as_device=False):
+          records=None, engine="auto", pyramid="auto", *, as_device=False,
+          want_reg=None):
     """Main 3D registration entry (``reg3d``,
     reference:src/api_reg.cpp:264-607).
 
@@ -1519,7 +1520,13 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
     ``as_device=True`` leaves the registered volume device-resident
     (a jax array) instead of fetching it to host — the fusion/batch
     pipelines feed it straight into the deconvolution, and the fetch
-    alone costs ~0.3-0.4 s at fusion shapes on a tunneled device."""
+    alone costs ~0.3-0.4 s at fusion shapes on a tunneled device.
+
+    ``want_reg=False`` skips the final full-volume transform entirely and
+    returns ``None`` for the registered volume — for callers that only
+    need the matrix (the batch driver re-applies it inside its fused
+    per-timepoint program). Default ``None`` keeps the as_device
+    behavior."""
     t0 = time.time()
     if records is None:
         records = np.zeros(11, dtype=np.float64)
@@ -1557,7 +1564,10 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
     if pyramid == "auto":
         pyramid = img1.size > 96 ** 3 and engine != "host"
 
-    want = "device" if as_device else True
+    if want_reg is False:
+        want = False
+    else:
+        want = "device" if as_device else True
 
     def run_affine(i1, i2, method, flag, mx):
         if pyramid:
@@ -1590,9 +1600,9 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
 
     if reg_choice == 0:
         if mem_mode == 2 and flag_tmx and tmx is not None:
-            reg = _final_transform(img2, np.asarray(tmx, np.float32),
-                                   img1.shape, 2)
             out_tmx = np.asarray(tmx, np.float32).copy()
+            reg = (_final_transform(img2, out_tmx, img1.shape, 2)
+                   if want else None)
         else:
             reg, out_tmx, records = reg3d_affine(
                 img1, img2, 0, flag_tmx, tmx, ftol, it_limit, verbose,
@@ -1601,7 +1611,9 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
         shifts = run_phasor(img1, img2)
         out_tmx = identity_tmx()
         out_tmx[3], out_tmx[7], out_tmx[11] = shifts
-        if mem_mode == 2:
+        if not want:
+            reg = None
+        elif mem_mode == 2:
             reg = _final_transform(img2, out_tmx, img1.shape, 2)
         else:
             reg = imshift(img2, -shifts[0], -shifts[1], -shifts[2])
@@ -1637,7 +1649,9 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
 
     records[7] = time.time() - t0
     records[10] = free_memory_mb(device)
-    return (reg if as_device else np.asarray(reg)), out_tmx, records
+    if reg is not None and not as_device:
+        reg = np.asarray(reg)
+    return reg, out_tmx, records
 
 
 def reg_3dgpu(img1, img2, aff_method=7, input_tmx=False, tmx=None, ftol=1e-4,

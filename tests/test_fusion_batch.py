@@ -493,3 +493,121 @@ def test_batch_group_single_chip_matches(tmp_path, monkeypatch):
         a, _ = readtifstack(str(out1 / "Decon" / f"Decon_{t}.tif"))
         b, _ = readtifstack(str(out2 / "Decon" / f"Decon_{t}.tif"))
         np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4)
+
+
+def _write_drift_inputs(root, n_t=3, psf=None):
+    """Anisotropic-z inputs whose view B drifts per timepoint and whose
+    b_zyx != tgt_zyx after rotation — the registering-regMode workload."""
+    if psf is None:
+        psf = gaussian_psf((5, 5, 5), 1.0)
+    in1 = root / "SPIMA"
+    in2 = root / "SPIMB"
+    in1.mkdir()
+    in2.mkdir()
+    for t in range(n_t):
+        vol = blobs((8, 16, 16), n=6, seed=30 + t)
+        writetifstack(str(in1 / f"SPIMA_{t}.tif"), vol, 32)
+        b = np.transpose(vol, (2, 1, 0)).copy()
+        b = np.roll(b, t, axis=1)  # integer temporal drift in y
+        writetifstack(str(in2 / f"SPIMB_{t}.tif"), b, 32)
+    writetifstack(str(root / "psf.tif"), psf, 32)
+    return in1, in2
+
+
+@pytest.mark.parametrize("reg_mode", [2, 3])
+def test_batch_fused_regmodes_match_unfused(tmp_path, monkeypatch, reg_mode):
+    """The fused per-timepoint path for the REGISTERING regModes
+    (2 dependent / 3 independent): want_reg=False registration + ONE
+    align/apply/decon/MIP program must match the stage-by-stage chain —
+    on a workload with anisotropic z, imgRotation=-1, per-timepoint
+    drift, and b_zyx != tgt_zyx (the centered source-frame alignment is
+    genuinely exercised)."""
+
+    def run(sub, fused):
+        root = tmp_path / sub
+        root.mkdir()
+        in1, in2 = _write_drift_inputs(root)
+        out = root / "out"
+        cfg = BatchConfig(
+            out_dir=str(out), in_dir1=str(in1), in_dir2=str(in2),
+            name1="SPIMA_", name2="SPIMB_",
+            img_start=0, img_end=2, img_interval=1, img_test=0,
+            pixel1=(1.0, 1.0, 2.0), pixel2=(1.0, 1.0, 2.0),
+            reg_mode=reg_mode, im_rotation=-1, flag_initial_tmx=0,
+            tmx_file="", ftol=1e-3, it_limit=200,
+            save_reg_a=True, save_reg_b=True,
+            psf1_file=str(root / "psf.tif"), psf2_file=str(root / "psf.tif"),
+            it_num_decon=3, save_mp_z=True, save_mp_y=False, save_mp_x=False,
+            save_3d_x=False, save_3d_y=True, bit_per_sample=32,
+            query_device=False, device_num=0, verbose=False)
+        monkeypatch.setenv("MIL_BATCH_FUSED", fused)
+        return out, spim_fusion_batch(cfg)
+
+    out1, done1 = run("fused", "1")
+    out0, done0 = run("unfused", "0")
+    assert done1 == done0 == [0, 1, 2]
+    for t in done1:
+        # identical registration trajectory -> near-identical matrices
+        m1 = read_tmx(str(out1 / "TMX" / f"Matrix_{t}.tmx"))
+        m0 = read_tmx(str(out0 / "TMX" / f"Matrix_{t}.tmx"))
+        np.testing.assert_allclose(m1, m0, atol=1e-5)
+        for d, name in (("Decon", f"Decon_{t}.tif"),
+                        ("RegA", f"SPIMA_reg_{t}.tif"),
+                        ("RegB", f"SPIMB_reg_{t}.tif"),
+                        ("Decon/MP_ZProj", f"MP_XY_{t}.tif"),
+                        ("Decon/MP_3D_Yaxis", f"MP_3D_Yaxis_{t}.tif")):
+            a, _ = readtifstack(str(out1 / d / name))
+            b, _ = readtifstack(str(out0 / d / name))
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_batch_apply_matches_reg3d_frame(tmp_path, monkeypatch):
+    """regMode 0 with an input matrix: the batch apply (fused AND
+    unfused) must place view B in the same frame reg3d choice 0 uses —
+    center-aligned to the target grid before the transform
+    (reference:src/api_reg.cpp:398-407) — at shapes where
+    b_zyx != tgt_zyx. Round-5 fix: both paths previously transformed the
+    unaligned view, shifting B by the centering offset."""
+    from microimagelib_tpu.io.tmx import write_tmx
+    from microimagelib_tpu.models.fusion import preprocess_views
+    from microimagelib_tpu.models.registration import reg3d
+    from microimagelib_tpu.ops.matrix import dof_to_matrix
+
+    tmx = dof_to_matrix([1.2, -0.8, 0.5, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0], 6)
+
+    def run(sub, fused):
+        root = tmp_path / sub
+        root.mkdir()
+        in1, in2 = _write_drift_inputs(root, n_t=1)
+        write_tmx(str(root / "init.tmx"), np.asarray(tmx, np.float32))
+        out = root / "out"
+        cfg = BatchConfig(
+            out_dir=str(out), in_dir1=str(in1), in_dir2=str(in2),
+            name1="SPIMA_", name2="SPIMB_",
+            img_start=0, img_end=0, img_interval=1, img_test=0,
+            pixel1=(1.0, 1.0, 2.0), pixel2=(1.0, 1.0, 2.0),
+            reg_mode=0, im_rotation=-1, flag_initial_tmx=1,
+            tmx_file=str(root / "init.tmx"), ftol=1e-3, it_limit=100,
+            save_reg_a=False, save_reg_b=True,
+            psf1_file=str(root / "psf.tif"), psf2_file=str(root / "psf.tif"),
+            it_num_decon=2, save_mp_z=False, save_mp_y=False,
+            save_mp_x=False, save_3d_x=False, save_3d_y=False,
+            bit_per_sample=32, query_device=False, device_num=0,
+            verbose=False)
+        monkeypatch.setenv("MIL_BATCH_FUSED", fused)
+        spim_fusion_batch(cfg)
+        return readtifstack(str(out / "RegB" / "SPIMB_reg_0.tif"))[0]
+
+    reg_fused = run("fused", "1")
+    reg_unfused = run("unfused", "0")
+
+    # ground truth: reg3d choice 0 on the preprocessed views
+    a_raw, _ = readtifstack(str(tmp_path / "fused" / "SPIMA" / "SPIMA_0.tif"))
+    b_raw, _ = readtifstack(str(tmp_path / "fused" / "SPIMB" / "SPIMB_0.tif"))
+    a_iso, b_iso = preprocess_views(a_raw, b_raw, (1.0, 1.0, 2.0),
+                                    (1.0, 1.0, 2.0), -1)
+    assert a_iso.shape != b_iso.shape  # the alignment case is exercised
+    ref, _, _ = reg3d(a_iso, b_iso, 0, 0, True, tmx)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(reg_fused, ref, atol=1e-5 * scale)
+    np.testing.assert_allclose(reg_unfused, ref, atol=1e-5 * scale)
