@@ -28,6 +28,10 @@ import numpy as np
 def _setup_jax():
     import jax
 
+    if os.environ.get("MIL_PLATFORM"):
+        # CPU smoke runs (the axon plugin ignores JAX_PLATFORMS; this is
+        # the supported force, same as the CLIs)
+        jax.config.update("jax_platforms", os.environ["MIL_PLATFORM"])
     cache_dir = os.environ.get("MIL_TPU_CACHE",
                                os.path.expanduser("~/.cache/jax_comp_cache"))
     try:
@@ -300,6 +304,78 @@ def _batch_cfg(root, in1, in2, out_name, start, end, reg_mode=1):
         verbose=False)
 
 
+def bench_fusion1tp_realpsf():
+    """fusion1tp with the MEASURED PSF class (tilted, 17-voxel z extent,
+    bench _tilted_psf) instead of the easy axis-aligned Gaussian — the
+    number a reference user with real light-sheet PSF files gets
+    (round-4 verdict #3; reference:src/spim_fusion.cpp:96-99 PSF files
+    are measured data)."""
+    from microimagelib_tpu.models.fusion import fusion_dualview
+
+    a, b = _anisotropic_views()
+    psf = _tilted_psf()
+    kwargs = dict(pixel_a=(0.1625, 0.1625, 1.0), pixel_b=(0.1625, 0.1625, 1.0),
+                  im_rotation=-1, reg_choice=2, aff_method=7, n_iters=10)
+    _, _, _, _ = fusion_dualview(a, b, psf, psf, **kwargs)  # warm
+    rec = np.zeros(22)
+    t0 = time.perf_counter()
+    _, _, _, _ = fusion_dualview(a, b, psf, psf, records=rec, **kwargs)
+    dt = time.perf_counter() - t0
+    _emit("fusion_1tp_realpsf_warm_s", dt, "s", None)
+    _emit("fusion_1tp_realpsf_final_ncc", rec[3], "ncc", None)
+
+
+def bench_fusion_gt_truth():
+    """Optimizer-independent NCC ceiling for the fusion bench (round-4
+    verdict #4): take the EXACT views the fusion bench preprocesses
+    (anisotropic sampling + rotation losses included), apply a KNOWN
+    extra affine warp to the iso B view, then report (a) the NCC the
+    TRUE matrix achieves and (b) the NCC a tight 12-DOF polish STARTED
+    FROM the true matrix reaches — no basin search anywhere, so (b) is
+    the data's achievable ceiling for the production pipeline's own
+    inputs. Production fusion's NCC gap to (b) is the optimizer's true
+    shortfall (one extra resample in this construction makes (b) a
+    slightly CONSERVATIVE, i.e. low, ceiling estimate)."""
+    import jax.numpy as jnp
+    from microimagelib_tpu.models.fusion import preprocess_views
+    from microimagelib_tpu.models.registration import reg3d, zncc
+    from microimagelib_tpu.ops.affine import affine_transform_3d
+    from microimagelib_tpu.ops.basics import align_size_3d
+    from microimagelib_tpu.ops.matrix import dof_to_matrix
+
+    a, b = _anisotropic_views()
+    a_iso, b_iso0 = preprocess_views(a, b, (0.1625, 0.1625, 1.0),
+                                     (0.1625, 0.1625, 1.0), -1,
+                                     as_device=True)
+    shape = tuple(a_iso.shape)
+    b_al = (b_iso0 if tuple(b_iso0.shape) == shape
+            else align_size_3d(b_iso0, shape))
+    # known warp of the same class the production search faces:
+    # rotation + translation + slight anisotropic scale
+    m_fwd = dof_to_matrix([1.5, -2.3, 0.9, 1.2, -0.8, 0.6,
+                           1.01, 0.99, 1.005], 9)
+    b_iso = np.asarray(affine_transform_3d(b_al, m_fwd, shape))
+    # true registering matrix = inverse of the warp (the underlying
+    # A<->B correspondence is ~identity by construction, up to the
+    # sub-voxel sampling offsets the polish arm absorbs)
+    m44 = np.eye(4, dtype=np.float64)
+    m44[:3, :] = np.asarray(m_fwd, np.float64).reshape(3, 4)
+    tmx_true = np.linalg.inv(m44)[:3, :].reshape(12).astype(np.float32)
+    reg_true = np.asarray(affine_transform_3d(jnp.asarray(b_iso), tmx_true,
+                                              shape))
+    a_np = np.asarray(a_iso)
+    _emit("fusion_gt_true_matrix_ncc", float(zncc(reg_true, a_np)), "ncc",
+          None)
+    # (b) 12-DOF polish from the true matrix (no pyramid, no basin
+    # search): the achievable ceiling
+    _, _, rec = reg3d(a_np, b_iso, 2, aff_method=5, flag_tmx=True,
+                      tmx=tmx_true, ftol=1e-6,
+                      it_limit=int(os.environ.get("MIL_BENCH_GT_ITL",
+                                                  "10000")),
+                      pyramid=False)
+    _emit("fusion_gt_truth_polish_ncc", float(rec[3]), "ncc", None)
+
+
 def bench_batch20tp():
     """Config 5: 20 timepoints (128x128x32), regMode 1, 10 decon
     iterations, MIP outputs, overlapped I/O. Timepoints/minute."""
@@ -372,6 +448,28 @@ def bench_batch20tp_reg3():
     _bench_batch_reg(3)
 
 
+def bench_batch20tp_realpsf():
+    """batch20tp (regMode 1 apply-only steady state) with the MEASURED
+    PSF class — the fused per-timepoint program embeds the conv route
+    chosen for THIS PSF at build time (round-4 verdict #3)."""
+    from microimagelib_tpu.models.batch import spim_fusion_batch
+
+    n_t = int(os.environ.get("MIL_BENCH_BATCH_T", "20"))
+    root = tempfile.mkdtemp(prefix="milbench_")
+    try:
+        in1, in2 = _write_batch_tree(root, n_t, psf=_tilted_psf())
+        spim_fusion_batch(_batch_cfg(root, in1, in2, "warm", 0, 0))
+        t0 = time.perf_counter()
+        processed = spim_fusion_batch(_batch_cfg(root, in1, in2, "out", 0,
+                                                 n_t - 1))
+        dt = time.perf_counter() - t0
+        assert len(processed) == n_t
+        _emit("batch_realpsf_timepoints_per_min", 60.0 * n_t / dt, "tp/min",
+              None)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_decon512():
     """North star: 512^3 RL iterations/s (same as bench.py)."""
     import jax.numpy as jnp
@@ -438,10 +536,13 @@ CONFIGS = {
     "reg128": bench_reg128,
     "dual256": bench_dual256,
     "fusion1tp": bench_fusion1tp,
+    "fusion1tp_realpsf": bench_fusion1tp_realpsf,
     "fusion1tp_gt": bench_fusion1tp_gt,
+    "fusion_gt_truth": bench_fusion_gt_truth,
     "batch20tp": bench_batch20tp,
     "batch20tp_reg2": bench_batch20tp_reg2,
     "batch20tp_reg3": bench_batch20tp_reg3,
+    "batch20tp_realpsf": bench_batch20tp_realpsf,
     "decon512": bench_decon512,
     "decon512_realpsf": bench_decon512_realpsf,
 }

@@ -4,6 +4,7 @@ positional-argument protocol of the ImageJ diSPIMFusion plugin
 
 from __future__ import annotations
 
+import os
 import sys
 
 from microimagelib_tpu.cli._common import setup_jax_cache
@@ -91,13 +92,19 @@ def main(argv=None):
         bit_per_sample=int(a[31]), query_device=bool(int(a[32])), device_num=int(a[33]),
         psf1_bp_file=a[34] if len(a) == 36 else "",
         psf2_bp_file=a[35] if len(a) == 36 else "",
+        # camera background subtraction (framework extension; the ImageJ
+        # protocol has no slot for it and the reference's -bg flags are
+        # dead, reference:src/spim_fusion.cpp:194-202 — see
+        # BatchConfig.bg1). Env-controlled so the positional protocol
+        # stays exactly 34/36 arguments.
+        bg1=float(os.environ.get("MIL_BATCH_BG1", "0")),
+        bg2=float(os.environ.get("MIL_BATCH_BG2", "0")),
     )
     if cfg.query_device:
         query_device(verbose=True)
     # MIL_MESH="n_dp,n_sp" runs the deconvolution stage data-parallel over a
     # device mesh (framework extension; the reference is single-GPU)
     mesh = None
-    import os
     mesh_env = os.environ.get("MIL_MESH")
     if mesh_env:
         from microimagelib_tpu.parallel.mesh import make_mesh

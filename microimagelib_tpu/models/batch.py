@@ -93,6 +93,17 @@ class BatchConfig:
     # framework extensions (not in the reference protocol)
     overlap_io: bool = True
     verbose: bool = True
+    # camera background subtraction (counts), clipped at zero. The
+    # reference PARSES -bg1/-bg2 in spimFusion but never applies them
+    # (reference:src/spim_fusion.cpp:194-202 sets bgValue1/2, which are
+    # only ever printed; the help lines are commented out at :37-38) —
+    # the ImageJ plugin side normally pre-subtracts. Implemented here so
+    # raw sCMOS stacks (constant ~100-count offset) register correctly:
+    # a constant offset hands the zero-filled out-of-footprint resample
+    # planes ~100x the variance of any data plane and wrecks the NCC
+    # objective (BASELINE.md round-3 note).
+    bg1: float = 0.0
+    bg2: float = 0.0
 
 
 def _log(log_path, msg):
@@ -466,6 +477,13 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
         return (os.path.join(cfg.in_dir1, f"{cfg.name1}{t}.tif"),
                 os.path.join(cfg.in_dir2, f"{cfg.name2}{t}.tif"))
 
+    def _sub_bg(arr, bg):
+        """Camera background subtraction, clipped at zero (cfg.bg1/bg2 —
+        the working version of the reference's dead -bg flags)."""
+        if not bg:
+            return arr
+        return np.maximum(np.asarray(arr, np.float32) - np.float32(bg), 0.0)
+
     # --- background reader: prefetch next timepoint while device works ---
     read_q: "queue.Queue" = queue.Queue(maxsize=2)
 
@@ -473,8 +491,8 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
         for t in tp_list:
             p1, p2 = img_paths(t)
             try:
-                a = readtifstack(p1)[0]
-                b = readtifstack(p2)[0]
+                a = _sub_bg(readtifstack(p1)[0], cfg.bg1)
+                b = _sub_bg(readtifstack(p2)[0], cfg.bg2)
                 read_q.put((t, a, b))
             except Exception as e:  # surface read failures in order
                 read_q.put((t, e, None))
@@ -518,8 +536,8 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
     if reg_mode == 1:
         t = cfg.img_test
         p1, p2 = img_paths(t)
-        a_in = readtifstack(p1)[0]
-        b_in = readtifstack(p2)[0]
+        a_in = _sub_bg(readtifstack(p1)[0], cfg.bg1)
+        b_in = _sub_bg(readtifstack(p2)[0], cfg.bg2)
         a_iso, b_iso = preprocess_views(a_in, b_in, cfg.pixel1, cfg.pixel2,
                                         cfg.im_rotation, verbose=cfg.verbose)
         _log(log_path, f"\n*** Registration on test image number: {t} \n")
@@ -606,8 +624,8 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
             assert t_got == t
         else:
             p1, p2 = img_paths(t)
-            a_in = readtifstack(p1)[0]
-            b_in = readtifstack(p2)[0]
+            a_in = _sub_bg(readtifstack(p1)[0], cfg.bg1)
+            b_in = _sub_bg(readtifstack(p2)[0], cfg.bg2)
 
         if cfg.verbose:
             print(f"\n*** Image time point number: {t} ")

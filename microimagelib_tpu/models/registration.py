@@ -1472,6 +1472,7 @@ def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
     # must yield a pure translation even through the pyramid. Escalation
     # methods 6/7 already end at 12-DOF, so they polish with 5.
     polish_method = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 5, 7: 5}[aff_method]
+    mids = []
     if env_on("MIL_REG_PYRAMID_MID", True):
         # geometric mid schedule (default on; MIL_REG_PYRAMID_MID=0
         # restores the 2-level pyramid): polish the REQUESTED model at
@@ -1482,21 +1483,34 @@ def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
         # single-mid arm: fusion1tp 6.09 vs 6.49 s, identical NCC).
         fmid = tuple(max(1, v // 2) for v in _pool_factors(factor))
         while any(v > 1 for v in fmid):
-            m1 = _mean_pool(img1, fmid)
-            m2 = _mean_pool(img2, fmid)
-            if verbose:
-                print(f"\t... pyramid: mid polish at 1/{fmid} resolution")
-            _, m_mid, _rec_m = reg3d_affine(
-                m1, m2, polish_method, True, _tmx_full_to_coarse(m_init, fmid),
-                ftol, it_limit, verbose, None, device, engine,
-                want_reg=False)
-            m_init = _tmx_coarse_to_full(m_mid, fmid)
+            mids.append(fmid)
             fmid = tuple(max(1, v // 2) for v in fmid)
+    # Finisher placement (MIL_REG_FINISH_LEVEL): 'full' (default) runs
+    # the grad engine's Powell finisher at every level including the
+    # full-resolution polish; 'mid' keeps it through the LAST mid level
+    # (where direction-set evals are ~7x cheaper) and runs the
+    # full-resolution stage L-BFGS-only — the full-res gradient stage is
+    # itself the verification pass (it re-optimizes the exact objective
+    # at full scale). Hardware A/B in BASELINE.md round 5.
+    mid_finish = (os.environ.get("MIL_REG_FINISH_LEVEL", "full") == "mid"
+                  and bool(mids))
+    for fm in mids:
+        m1 = _mean_pool(img1, fm)
+        m2 = _mean_pool(img2, fm)
+        if verbose:
+            print(f"\t... pyramid: mid polish at 1/{fm} resolution")
+        _, m_mid, _rec_m = reg3d_affine(
+            m1, m2, polish_method, True, _tmx_full_to_coarse(m_init, fm),
+            ftol, it_limit, verbose, None, device, engine,
+            want_reg=False)
+        m_init = _tmx_coarse_to_full(m_mid, fm)
     if verbose:
         print(f"\t... pyramid: full-resolution polish (method {polish_method})")
     reg, m_full, records = reg3d_affine(img1, img2, polish_method, True, m_init,
                                         ftol, it_limit, verbose, records, device,
-                                        engine, mem_mode, want_reg=want_reg)
+                                        engine, mem_mode, want_reg=want_reg,
+                                        grad_finish=(False if mid_finish
+                                                     else None))
     records[2] = rec_c[3]  # coarse-stage NCC as the intermediate record
     return reg, m_full, records
 
