@@ -53,6 +53,24 @@ from microimagelib_tpu.ops.matrix import identity_tmx
 COST_VALUE_BAR = 0.1  # reference:src/spim_fusion_batch.cpp:563
 
 
+def _warm_method(aff_method):
+    """Registration method for regMode-2 WARM timepoints (idx > 0):
+    collapse the escalation ladders (6 rigid->12, 7 3->6->9->12) to ONE
+    12-DOF stage STARTED AT the propagated matrix (method-5 flagTmx
+    semantics, reference:src/api_subfunc.cu:2893-2916). The restricted
+    early stages exist to build a basin path from scratch, which the
+    warm matrix already provides; per-timepoint drift is sub-voxel and
+    the checkmatrix/cost-bar fallback still guards failures. Hardware
+    A/B in BASELINE.md round 5. MIL_BATCH_WARM_METHOD: 'auto' (default),
+    '0'/'off' = keep the configured method, or an explicit method id."""
+    wm_env = os.environ.get("MIL_BATCH_WARM_METHOD", "auto")
+    if wm_env in ("0", "off"):
+        return aff_method
+    if wm_env == "auto":
+        return 5 if aff_method in (6, 7) else aff_method
+    return int(wm_env)
+
+
 @dataclass
 class BatchConfig:
     """The 34/36 positional arguments of the ImageJ diSPIMFusion protocol
@@ -682,7 +700,8 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
             if reg_mode == 2 and idx > 0:
                 warm_pyr = ("auto" if env_on("MIL_BATCH_WARM_PYRAMID")
                             else False)
-                _, out_tmx, rec = reg3d(a_iso, b_iso, 2, aff_method, True,
+                _, out_tmx, rec = reg3d(a_iso, b_iso, 2,
+                                        _warm_method(aff_method), True,
                                         tmx_weighted, cfg.ftol, cfg.it_limit,
                                         verbose=cfg.verbose, want_reg=False,
                                         pyramid=warm_pyr)
@@ -767,9 +786,16 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
                     cfg, log_path, tmx_initial if flag_itmx else None)
                 tmx_weighted = out_tmx.copy()
             else:
-                reg_b, out_tmx, rec = reg3d(a_iso, b_iso, 2, aff_method, True,
+                # same warm-timepoint policy as the fused path above:
+                # single 12-DOF stage from the propagated matrix, pyramid
+                # off (MIL_BATCH_WARM_METHOD / MIL_BATCH_WARM_PYRAMID)
+                reg_b, out_tmx, rec = reg3d(a_iso, b_iso, 2,
+                                            _warm_method(aff_method), True,
                                             tmx_weighted, cfg.ftol, cfg.it_limit,
-                                            verbose=cfg.verbose)
+                                            verbose=cfg.verbose,
+                                            pyramid=("auto" if env_on(
+                                                "MIL_BATCH_WARM_PYRAMID")
+                                                else False))
                 ok = checkmatrix(out_tmx, sx, sy, sz) and rec[3] >= COST_VALUE_BAR
                 if not ok:
                     _log(log_path, f"\n\t... Attempt failed: matrix problematic or cost {rec[3]:f} < {COST_VALUE_BAR:.2f}\n"

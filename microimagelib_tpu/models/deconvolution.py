@@ -638,10 +638,20 @@ def rl_decon_dual(img_a, img_b, otf_a, otf_b, otf_bp_a, otf_bp_b, n_iters,
 # reference:src/api_decon.cpp:111-135)
 # --------------------------------------------------------------------------
 
+_TPU_HBM_GB = {  # total HBM per chip by device-kind substring
+    "v6e": 32, "v6": 32, "v5p": 95, "v5e": 16, "v5 lite": 16,
+    "v4": 32, "v3": 16, "v2": 8,
+}
+
+
 def hbm_budget_bytes(device=None):
     """Free device-memory budget in bytes. ``MIL_HBM_BUDGET_MB`` overrides
     (for testing the tiering deterministically); otherwise the backend's
-    memory stats are probed like ``cudaMemGetInfo``; None when unknown."""
+    memory stats are probed like ``cudaMemGetInfo``. Backends without
+    ``memory_stats`` (the experimental axon TPU plugin — discovered when
+    the round-5 beyond-HBM hardware probe saw the auto tiers treat an
+    18 GB working set as fitting a 16 GB chip) fall back to the chip's
+    known HBM size from ``device_kind`` at 90%; None when unknown."""
     env = os.environ.get("MIL_HBM_BUDGET_MB")
     if env:
         return float(env) * 1048576.0
@@ -650,6 +660,15 @@ def hbm_budget_bytes(device=None):
         stats = d.memory_stats() or {}
         if "bytes_limit" in stats:
             return float(stats["bytes_limit"] - stats.get("bytes_in_use", 0))
+    except Exception:
+        pass
+    try:
+        if d.platform in ("tpu", "axon"):
+            kind = (getattr(d, "device_kind", "") or "").lower()
+            for key, gb in _TPU_HBM_GB.items():
+                if key in kind:
+                    return gb * 0.90e9
+            return 16 * 0.90e9  # unknown TPU kind: the smallest modern chip
     except Exception:
         pass
     return None

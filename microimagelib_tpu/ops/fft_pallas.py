@@ -48,10 +48,15 @@ def _kxp(nx):
 
 def ct_supported(shape):
     """The fused path needs: x (lanes) a multiple of 128; y and z
-    radix-4-splittable with sublane-aligned quarters."""
+    radix-4-splittable with sublane-aligned quarters; and xy planes no
+    larger than the proven 512x512 — the kernel's slab windows scale
+    with ny*nx and Mosaic VMEM-OOMs at 1024x1024 planes (measured
+    round 5: 155.5M of 128M used at (704, 1024, 1024); 512^3 fits).
+    Larger planes fall back to the matmul DFT, whose XLA einsums are
+    compiler-tiled and VMEM-safe."""
     nz, ny, nx = shape
     return (nx % 128 == 0 and ny % 32 == 0 and nz % 32 == 0
-            and ny >= 32 and nz >= 32)
+            and ny >= 32 and nz >= 32 and ny * nx <= 512 * 512)
 
 
 # --------------------------------------------------------------------------

@@ -149,6 +149,8 @@ def main():
             out_specs=pl.BlockSpec((zb, size, size), out_map,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interp,
         )(v, aux)
 

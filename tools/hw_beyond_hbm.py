@@ -67,11 +67,14 @@ def main():
     dev = jnp.asarray(host2)
     _ = float(dev.ravel()[0])
     up = 0.268435456 / (time.perf_counter() - t0)
-    back = np.asarray(dev)              # warm fetch path
+    # d2h: fetch a DEVICE-COMPUTED buffer (fetching a device_put result
+    # returns the backend's cached host copy and measures nothing)
+    dev2 = dev * np.float32(1.000001)
+    _ = float(dev2.ravel()[0])          # fence the compute
     t0 = time.perf_counter()
-    back = np.asarray(dev)
+    back = np.asarray(dev2)
     down = 0.268435456 / (time.perf_counter() - t0)
-    del back, dev
+    del back, dev, dev2
     emit("h2d_bw", up, "GB/s")
     emit("d2h_bw", down, "GB/s")
     bw = min(up, down)

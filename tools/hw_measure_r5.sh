@@ -42,7 +42,22 @@ phase2)
   run beyond_hbm    5400 -- python tools/hw_beyond_hbm.py
   run e2e_surrogate 5400 -- python tools/e2e_surrogate.py
   ;;
+phase3)
+  # clean A/B arms + reruns after the phase-2 findings:
+  #  - reg128 base standalone (same conditions as reg128_mid) to decide
+  #    the MIL_REG_FINISH_LEVEL default
+  #  - batch_reg2 with the warm-method collapse (new default) vs the
+  #    round-4 behavior (MIL_BATCH_WARM_METHOD=0)
+  #  - roofline rerun (pipe-copy kernel needed the conv's VMEM limit)
+  #  - beyond-HBM rerun (hbm_budget_bytes now falls back to the chip's
+  #    known HBM size on backends without memory_stats)
+  run reg128_base   2400 -- python bench_all.py reg128
+  run batch_reg2_new 3600 -- python bench_all.py batch20tp_reg2
+  run batch_reg2_old 3600 MIL_BATCH_WARM_METHOD=0 -- python bench_all.py batch20tp_reg2
+  run roofline2     2400 -- python tools/conv_roofline.py
+  run beyond_hbm2   5400 -- python tools/hw_beyond_hbm.py
+  ;;
 *)
-  echo "usage: $0 phase1|phase2" >&2; exit 2;;
+  echo "usage: $0 phase1|phase2|phase3" >&2; exit 2;;
 esac
 echo "PHASE DONE $(date +%H:%M:%S)" | tee -a "$OUT/summary.log"
