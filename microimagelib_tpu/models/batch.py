@@ -54,19 +54,25 @@ COST_VALUE_BAR = 0.1  # reference:src/spim_fusion_batch.cpp:563
 
 
 def _warm_method(aff_method):
-    """Registration method for regMode-2 WARM timepoints (idx > 0):
-    collapse the escalation ladders (6 rigid->12, 7 3->6->9->12) to ONE
-    12-DOF stage STARTED AT the propagated matrix (method-5 flagTmx
-    semantics, reference:src/api_subfunc.cu:2893-2916). The restricted
-    early stages exist to build a basin path from scratch, which the
-    warm matrix already provides; per-timepoint drift is sub-voxel and
-    the checkmatrix/cost-bar fallback still guards failures. Hardware
-    A/B in BASELINE.md round 5. MIL_BATCH_WARM_METHOD: 'auto' (default),
-    '0'/'off' = keep the configured method, or an explicit method id."""
+    """Registration method for regMode-2 WARM timepoints (idx > 0).
+
+    The tempting optimization — collapse the escalation ladders (6
+    rigid->12, 7 3->6->9->12) to ONE 12-DOF stage started at the
+    propagated matrix (method-5 flagTmx semantics,
+    reference:src/api_subfunc.cu:2893-2916) — measured WORSE on
+    hardware: 43.7 tp/min at mean NCC 0.8233 vs 46.0 tp/min at 0.8285
+    for the warm-started full ladder (round-5 `batch_reg2_new/old`
+    A/B, BASELINE.md). The restricted early stages are cheap when the
+    warm matrix already sits in the basin (they converge in a handful
+    of low-DOF evals) and keep the search out of the expensive 12-DOF
+    space longer. Default therefore keeps the configured method.
+    MIL_BATCH_WARM_METHOD: '0'/'off'/'auto' (default, keep the
+    configured method), 'collapse' (the measured-negative single-stage
+    policy, kept reproducible), or an explicit method id."""
     wm_env = os.environ.get("MIL_BATCH_WARM_METHOD", "auto")
-    if wm_env in ("0", "off"):
+    if wm_env in ("0", "off", "auto"):
         return aff_method
-    if wm_env == "auto":
+    if wm_env == "collapse":
         return 5 if aff_method in (6, 7) else aff_method
     return int(wm_env)
 

@@ -1485,14 +1485,16 @@ def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
         while any(v > 1 for v in fmid):
             mids.append(fmid)
             fmid = tuple(max(1, v // 2) for v in fmid)
-    # Finisher placement (MIL_REG_FINISH_LEVEL): 'full' (default) runs
-    # the grad engine's Powell finisher at every level including the
-    # full-resolution polish; 'mid' keeps it through the LAST mid level
+    # Finisher placement (MIL_REG_FINISH_LEVEL): 'mid' (default) keeps
+    # the grad engine's Powell finisher through the LAST mid level
     # (where direction-set evals are ~7x cheaper) and runs the
     # full-resolution stage L-BFGS-only — the full-res gradient stage is
     # itself the verification pass (it re-optimizes the exact objective
-    # at full scale). Hardware A/B in BASELINE.md round 5.
-    mid_finish = (os.environ.get("MIL_REG_FINISH_LEVEL", "full") == "mid"
+    # at full scale); 'full' restores the round-4 behavior (finisher at
+    # every level incl. full resolution). Hardware A/B in BASELINE.md
+    # round 5: fusion1tp 3.61 -> 1.96 s at NCC 0.805 -> 0.802; reg128
+    # 3.37 (full) vs 3.25 (mid) standalone, NCC equal 0.9981.
+    mid_finish = (os.environ.get("MIL_REG_FINISH_LEVEL", "mid") == "mid"
                   and bool(mids))
     for fm in mids:
         m1 = _mean_pool(img1, fm)

@@ -144,6 +144,15 @@ def _kernel(m_ref, src_hbm, tgt_ref, out_ref, box0, box1, sem0, sem1,
     kz_n = min(k, sz)
     ky_n = min(k + rows, sy)
     ky_row = min(k, ky_n)  # tight per-row window inside the block box
+    if sxp > 128:
+        # Wide-lane volumes (beyond-HBM pooled ladders): Mosaic cannot
+        # statically prove the dynamic sublane (dim-1) offset of the
+        # per-row window slice is 8-aligned and refuses to compile
+        # ("index in dimension 1 is a multiple of 8", round-5 hardware,
+        # memref<32x48x512>). Use the full static box height instead —
+        # slightly more MXU work per row ((k+rows)/k), only on shapes
+        # the tight window never compiled for.
+        ky_row = ky_n
 
     def block_coords(blk):
         """Per-row sample coordinates and the block's footprint origin."""
@@ -191,7 +200,10 @@ def _kernel(m_ref, src_hbm, tgt_ref, out_ref, box0, box1, sem0, sem1,
         for r in range(rows):
             (valid, x0i, x1i, y0i, y1i, z0i, z1i, fx, fy, fz,
              y_lo_row, y_hi_row) = row_data[r][:12]
-            oy_r = jnp.clip(y_lo_row - oy, 0, ky_n - ky_row)
+            # ky_row == ky_n -> static full-height window (offset 0, no
+            # dynamic sublane index; see the sxp > 128 note above)
+            oy_r = (0 if ky_row == ky_n
+                    else jnp.clip(y_lo_row - oy, 0, ky_n - ky_row))
             # The block-level check covers the COMBINED footprint within
             # ky_n rows, but each row's contraction window is only ky_row
             # wide: a row whose own span exceeds it must also flag no-fit.
@@ -256,6 +268,8 @@ def _kernel_nprobe(m_ref, src_hbm, tgt_ref, out_ref, box0, box1, sem0, sem1,
     kz_n = min(k, sz)
     ky_n = min(k + rows, sy)
     ky_row = min(k, ky_n)
+    if sxp > 128:
+        ky_row = ky_n  # static window at wide lanes (see _kernel)
 
     def union_coords(blk):
         """Per-matrix row data + the union footprint origin; per-matrix
@@ -328,7 +342,8 @@ def _kernel_nprobe(m_ref, src_hbm, tgt_ref, out_ref, box0, box1, sem0, sem1,
             for r in range(rows):
                 (valid, x0i, x1i, y0i, y1i, z0i, z1i, fx, fy, fz,
                  y_lo_row, y_hi_row) = datas[mi][r][:12]
-                oy_r = jnp.clip(y_lo_row - oy, 0, ky_n - ky_row)
+                oy_r = (0 if ky_row == ky_n
+                        else jnp.clip(y_lo_row - oy, 0, ky_n - ky_row))
                 fits = fits * (y_hi_row - (oy + oy_r) < ky_row).astype(
                     jnp.float32)
                 box_row = box_ref[:kz_n, pl.ds(oy_r, ky_row), :]
@@ -399,6 +414,8 @@ def _grad_kernel(m_ref, src_hbm, tgt_ref, out_ref, box0, box1, sem0, sem1,
     kz_n = min(k, sz)
     ky_n = min(k + rows, sy)
     ky_row = min(k, ky_n)
+    if sxp > 128:
+        ky_row = ky_n  # static window at wide lanes (see _kernel)
 
     def block_coords(blk):
         return _block_coords_mv(mv, blk, rows, xs, xs_i, sz, sy, sx,
@@ -444,7 +461,8 @@ def _grad_kernel(m_ref, src_hbm, tgt_ref, out_ref, box0, box1, sem0, sem1,
         for r in range(rows):
             (valid, x0i, x1i, y0i, y1i, z0i, z1i, fx, fy, fz,
              y_lo_row, y_hi_row, yf, zf) = row_data[r]
-            oy_r = jnp.clip(y_lo_row - oy, 0, ky_n - ky_row)
+            oy_r = (0 if ky_row == ky_n
+                    else jnp.clip(y_lo_row - oy, 0, ky_n - ky_row))
             fits = fits * (y_hi_row - (oy + oy_r) < ky_row).astype(jnp.float32)
             box_row = box_ref[:kz_n, pl.ds(oy_r, ky_row), :]
             z0l = z0i - oz

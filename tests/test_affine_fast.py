@@ -185,3 +185,20 @@ def test_nprobe_tier_fuzz():
                                        rtol=5e-4)
             np.testing.assert_allclose(float(st_b[i]), float(st_g),
                                        rtol=5e-4, atol=1e-3)
+
+
+def test_pallas_wide_lane_static_window():
+    """sxp > 128 volumes take the STATIC full-height row window (Mosaic
+    refuses the dynamic sublane offset at wide lanes — round-5 hardware,
+    beyond-HBM pooled ladder at x=512). The static-window contraction
+    must stay numerically identical to the gather oracle."""
+    from microimagelib_tpu.ops.pallas_corr import corr3d_partials_pallas
+
+    src, tgt = vols((16, 24, 192), seed=11)
+    for m in (identity_tmx(),
+              dof_to_matrix([0.8, -1.4, 0.6, 2.0, -1.0, 1.5,
+                             1.02, 0.98, 1.01], 9)):
+        ss_g, st_g = corr3d_partials(src, tgt, m)
+        ss_p, st_p = corr3d_partials_pallas(src, tgt, m, interpret=True)
+        np.testing.assert_allclose(float(ss_p), float(ss_g), rtol=2e-4)
+        np.testing.assert_allclose(float(st_p), float(st_g), rtol=2e-4)

@@ -297,3 +297,50 @@ def test_decon_sv_cli_settings_banner(tmp_path, capsys):
     assert "=== Deconvolution settings ..." in out
     assert "Iteration number of the deconvolution: 3" in out
     assert "Memory mode: -1" in out
+
+
+def test_spim_fusion_batch_cli_bg_subtraction(tmp_path, monkeypatch):
+    """MIL_BATCH_BG1/2 camera-background subtraction (the working version
+    of the reference's dead -bg flags, reference:src/spim_fusion.cpp:194-202):
+    stacks with a constant +100 camera offset, run with bg1=bg2=100, must
+    produce bit-identical outputs to the offset-free stacks run without
+    subtraction (the subtracted inputs are numerically identical)."""
+    from microimagelib_tpu.cli.spim_fusion_batch import main
+
+    psf = gaussian_psf((5, 5, 5), 1.0)
+    writetifstack(str(tmp_path / "p1.tif"), psf, 32)
+    writetifstack(str(tmp_path / "p2.tif"), psf, 32)
+
+    def make_inputs(root, offset):
+        (root / "A").mkdir(parents=True)
+        (root / "B").mkdir(parents=True)
+        vol = blobs((12, 12, 12), n=5, seed=77)
+        writetifstack(str(root / "A" / "a_0.tif"), vol + offset, 32)
+        writetifstack(str(root / "B" / "b_0.tif"),
+                      np.roll(vol, 1, axis=2) + offset, 32)
+
+    def run(root, out):
+        args = [
+            str(out), str(root / "A"), str(root / "B"),
+            "a_", "b_", "0", "0", "1", "0",
+            "1", "1", "1", "1", "1", "1",
+            "3", "0", "0", "none", "0.0001", "200",
+            "0", "0", str(tmp_path / "p1.tif"), str(tmp_path / "p2.tif"), "2",
+            "0", "0", "1", "0", "0", "32", "0", "0",
+        ]
+        assert main(args) == 0
+        dec, _ = readtifstack(str(out / "Decon" / "Decon_0.tif"))
+        return dec
+
+    clean_root = tmp_path / "clean"
+    make_inputs(clean_root, 0.0)
+    monkeypatch.delenv("MIL_BATCH_BG1", raising=False)
+    monkeypatch.delenv("MIL_BATCH_BG2", raising=False)
+    ref = run(clean_root, tmp_path / "out_clean")
+
+    offs_root = tmp_path / "offs"
+    make_inputs(offs_root, 100.0)
+    monkeypatch.setenv("MIL_BATCH_BG1", "100")
+    monkeypatch.setenv("MIL_BATCH_BG2", "100")
+    got = run(offs_root, tmp_path / "out_bg")
+    np.testing.assert_array_equal(got, ref)

@@ -57,7 +57,21 @@ phase3)
   run roofline2     2400 -- python tools/conv_roofline.py
   run beyond_hbm2   5400 -- python tools/hw_beyond_hbm.py
   ;;
+phase4)
+  # Clean arms under the round-5 defaults (mid finisher default flip +
+  # warm-method collapse reverted after the phase-3 A/B; phase 3's
+  # batch_reg2_old arm was contaminated by the mid-default edit landing
+  # mid-phase), plus the L-BFGS-only warm-finisher candidates for the
+  # regMode-2 >= 50 tp/min bar:
+  run batch_reg2_base2     3600 -- python bench_all.py batch20tp_reg2
+  run batch_reg2_collapse  3600 MIL_BATCH_WARM_METHOD=collapse -- python bench_all.py batch20tp_reg2
+  run batch_reg2_nofinish  3600 MIL_REG_GRAD_FINISH=0 -- python bench_all.py batch20tp_reg2
+  run batch_reg2_nf_p8     3600 MIL_REG_GRAD_FINISH=0 MIL_LBFGS_PATIENCE=8 -- python bench_all.py batch20tp_reg2
+  run batch_reg3_defaults  3600 -- python bench_all.py batch20tp_reg3
+  run fusion1tp_defaults   3000 -- python bench_all.py fusion1tp
+  run reg128_defaults      2400 -- python bench_all.py reg128
+  ;;
 *)
-  echo "usage: $0 phase1|phase2|phase3" >&2; exit 2;;
+  echo "usage: $0 phase1|phase2|phase3|phase4" >&2; exit 2;;
 esac
 echo "PHASE DONE $(date +%H:%M:%S)" | tee -a "$OUT/summary.log"
