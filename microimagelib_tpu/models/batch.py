@@ -77,6 +77,20 @@ def _warm_method(aff_method):
     return int(wm_env)
 
 
+def _warm_finish():
+    """Powell finisher on regMode-2 WARM timepoints (idx > 0): OFF by
+    default — the L-BFGS-only warm ladder measured **70.0 tp/min at
+    mean final NCC 0.8186** vs 42.6-46.0 tp/min at 0.8285 with the
+    finisher (round-5 `batch_reg2_nofinish` vs `base2/old` hardware
+    A/B). regMode 2 is the reference's speed mode (its 0.8/0.2
+    propagation already trades exactness for throughput,
+    reference:src/spim_fusion_batch.cpp:804-806); the -0.01 NCC buys
+    ~1.6x throughput. MIL_BATCH_WARM_FINISH=1 restores the finisher
+    (the quality arm, deferring to the global MIL_REG_GRAD_FINISH);
+    regMode 3 always runs the full cold cascade."""
+    return None if env_on("MIL_BATCH_WARM_FINISH") else False
+
+
 @dataclass
 class BatchConfig:
     """The 34/36 positional arguments of the ImageJ diSPIMFusion protocol
@@ -710,7 +724,8 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
                                         _warm_method(aff_method), True,
                                         tmx_weighted, cfg.ftol, cfg.it_limit,
                                         verbose=cfg.verbose, want_reg=False,
-                                        pyramid=warm_pyr)
+                                        pyramid=warm_pyr,
+                                        grad_finish=_warm_finish())
                 ok = (checkmatrix(out_tmx, sx, sy, sz)
                       and rec[3] >= COST_VALUE_BAR)
                 if not ok:
@@ -801,7 +816,8 @@ def spim_fusion_batch(cfg: BatchConfig, mesh=None):
                                             verbose=cfg.verbose,
                                             pyramid=("auto" if env_on(
                                                 "MIL_BATCH_WARM_PYRAMID")
-                                                else False))
+                                                else False),
+                                            grad_finish=_warm_finish())
                 ok = checkmatrix(out_tmx, sx, sy, sz) and rec[3] >= COST_VALUE_BAR
                 if not ok:
                     _log(log_path, f"\n\t... Attempt failed: matrix problematic or cost {rec[3]:f} < {COST_VALUE_BAR:.2f}\n"

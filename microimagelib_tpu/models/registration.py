@@ -740,6 +740,18 @@ def _reg3d_affine_lowmem(img1, img2, aff_method, flag_tmx, tmx, ftol,
     # coarse level: pool until ~5 volumes fit in half the budget
     vox_budget = (budget * 0.5 / 20.0) if budget else 96 ** 3
     factor = _auto_pool_factors(img1.shape, budget=vox_budget)
+    # Pallas-NCC envelope: the pooled x-extent must fit ONE 128-lane
+    # tile. Wider lanes crash the TPU compile helper (Mosaic dynamic-
+    # sublane refusal, then an XLA CHECK in the cascade), and the
+    # alternatives measured worse or fatal on hardware: the one-hot MXU
+    # formulation materializes an O(sz*sy*sx*max(sy,sz)) intermediate
+    # (200 GB OOM at (384,512,512)). Anisotropic coarse pooling is fine
+    # here — the streamed full-resolution polish below restores the
+    # x accuracy. Round-5 hardware, BASELINE.md beyond-HBM section.
+    kz_f, ky_f, kx_f = factor
+    while -(-img1.shape[2] // kx_f) > 128:
+        kx_f *= 2
+    factor = (kz_f, ky_f, kx_f)
     if verbose:
         print(f"\t... beyond-HBM registration: coarse ladder at "
               f"1/{factor} resolution, streamed full-resolution cost")
@@ -1524,7 +1536,7 @@ def reg3d_affine_pyramid(img1, img2, aff_method=7, flag_tmx=False, tmx=None,
 def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
           ftol=1e-4, it_limit=3000, device=None, mem_mode=-1, verbose=False,
           records=None, engine="auto", pyramid="auto", *, as_device=False,
-          want_reg=None):
+          want_reg=None, grad_finish=None):
     """Main 3D registration entry (``reg3d``,
     reference:src/api_reg.cpp:264-607).
 
@@ -1590,9 +1602,12 @@ def reg3d(img1, img2, reg_choice=2, aff_method=7, flag_tmx=False, tmx=None,
             return reg3d_affine_pyramid(i1, i2, method, flag, mx, ftol, it_limit,
                                         verbose, records, device, engine,
                                         mem_mode=mem_mode, want_reg=want)
+        # grad_finish (non-pyramid engines only; the pyramid places its
+        # own finisher per MIL_REG_FINISH_LEVEL): False = L-BFGS-only,
+        # the batch driver's warm-timepoint speed mode
         return reg3d_affine(i1, i2, method, flag, mx, ftol, it_limit,
                             verbose, records, device, engine, mem_mode,
-                            want_reg=want)
+                            want_reg=want, grad_finish=grad_finish)
 
     def run_phasor(i1, i2):
         # memory-saving phasor tier (the reference's reg3d_phasor2,

@@ -44,11 +44,19 @@ def _grad_impl(src_ms, tgt_ms, ncc_impl):
 
         return fn
 
+    from microimagelib_tpu.ops.affine import corr3d_partials as corr_gather
     from microimagelib_tpu.ops.affine_fast import corr3d_partials_mxu
+
+    # VJP through the one-hot MXU formulation saves every lax.map
+    # chunk's (rows, sx, sx) one-hot residuals — at wide volumes that
+    # is catastrophic (200 GB requested at (384, 512, 512), round-5
+    # beyond-HBM hardware). The gather formulation's VJP is a lean
+    # scatter-add; use it beyond one 128-lane tile.
+    base = corr3d_partials_mxu if src_ms.shape[-1] <= 128 else corr_gather
 
     def fn(m12):
         def f(m):
-            ss, st = corr3d_partials_mxu(src_ms, tgt_ms, m)
+            ss, st = base(src_ms, tgt_ms, m)
             return jnp.stack([ss, st])
 
         vals, vjp = jax.vjp(f, m12)

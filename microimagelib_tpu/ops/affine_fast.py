@@ -146,7 +146,16 @@ def corr3d_partials_mxu(src, tgt, tmx, box_k=DEFAULT_K):
 def resolve_ncc_impl(arr=None):
     """Resolve MIL_NCC_IMPL's 'auto' against the committed device of
     ``arr`` (falling back to the default backend). Must run EAGERLY —
-    tracers carry no device."""
+    tracers carry no device.
+
+    Auto picks the Pallas kernel only inside its hardware-proven
+    envelope: TPU backend AND x-extent <= 128 (one 128-lane tile).
+    Wider volumes crash the round-5 TPU compile helper (Mosaic refuses
+    the dynamic sublane window at x=512; the cascade then dies in an
+    XLA CHECK `limits[i] <= dim(i)` — beyond-HBM lowmem ladder,
+    BASELINE.md round 5) and were never measured on hardware; the
+    one-hot MXU formulation (plain XLA) is the proven route there.
+    MIL_NCC_IMPL=pallas still forces the kernel at any shape."""
     import os
 
     import jax
@@ -156,7 +165,11 @@ def resolve_ncc_impl(arr=None):
     impl = os.environ.get("MIL_NCC_IMPL", "auto")
     if impl != "auto":
         return impl
-    return "pallas" if committed_platform(arr) == "tpu" else "mxu"
+    if committed_platform(arr) != "tpu":
+        return "mxu"
+    sx = (arr.shape[-1] if arr is not None and getattr(arr, "ndim", 0)
+          else 0)
+    return "pallas" if sx <= 128 else "mxu"
 
 
 def corr3d_auto(src, tgt, tmx, impl=None):
